@@ -1,0 +1,27 @@
+"""sara-tpu: a TPU-native structure-from-motion / visual-odometry framework.
+
+Built from scratch on JAX/XLA/Pallas/pjit with the capabilities of the
+reference C++ library oddkiva/sara (see SURVEY.md), redesigned TPU-first:
+
+- arrays + pure functions + static shapes instead of pointer graphs,
+- ``vmap`` over keypoints / hypotheses / image pairs,
+- fixed-capacity buffers with validity masks instead of dynamic vectors,
+- device mesh sharding (``jax.sharding``) for the distributed bundle adjuster.
+
+Subpackages
+-----------
+core      typed pytrees (keypoints, matches), Lie groups, camera models, math
+image     filtering, pyramids, warps, differential operators
+features  DoG/Harris/Hessian/LoG detectors, SIFT description, orientation
+matching  brute-force descriptor matching (blocked GEMM + ratio test)
+ransac    vmapped robust estimation engine
+mvg       minimal solvers and two-view geometry
+ba        bundle adjustment (Levenberg-Marquardt + Schur complement)
+sfm       host-side incremental SfM: pose graph, tracks, odometry pipeline
+parallel  device meshes, sharded/distributed solvers
+io        image/video/dataset IO, PLY/HDF5 serialization
+viz       matplotlib-based visualization
+ops       Pallas TPU kernels for the hot paths
+"""
+
+__version__ = "0.1.0"

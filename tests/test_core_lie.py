@@ -1,0 +1,77 @@
+"""SO(3)/SE(3) round-trip and composition tests (cf. reference
+cpp/test/Sara/Core rotation tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sara_tpu.core import lie
+
+
+def test_so3_exp_log_roundtrip(rng):
+    w = jnp.asarray(rng.normal(size=(32, 3)))
+    R = lie.so3_exp(w)
+    # Orthonormality.
+    I = jnp.eye(3)
+    err = jnp.abs(R @ jnp.swapaxes(R, -1, -2) - I).max()
+    assert err < 1e-9
+    w2 = lie.so3_log(R)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w), atol=1e-7)
+
+
+def test_so3_small_angle(rng):
+    w = jnp.asarray(rng.normal(size=(8, 3)) * 1e-7)
+    R = lie.so3_exp(w)
+    np.testing.assert_allclose(np.asarray(lie.so3_log(R)), np.asarray(w), atol=1e-9)
+
+
+def test_quat_matrix_roundtrip(rng):
+    w = jnp.asarray(rng.normal(size=(32, 3)))
+    R = lie.so3_exp(w)
+    q = lie.matrix_to_quat(R)
+    R2 = lie.quat_to_matrix(q)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-9)
+
+
+def test_quat_rotate_matches_matrix(rng):
+    w = jnp.asarray(rng.normal(size=(16, 3)))
+    v = jnp.asarray(rng.normal(size=(16, 3)))
+    R = lie.so3_exp(w)
+    q = lie.matrix_to_quat(R)
+    np.testing.assert_allclose(
+        np.asarray(lie.quat_rotate(q, v)),
+        np.asarray(jnp.einsum("...ij,...j->...i", R, v)),
+        atol=1e-8,
+    )
+
+
+def test_se3_exp_log_roundtrip(rng):
+    xi = jnp.asarray(rng.normal(size=(32, 6)))
+    R, t = lie.se3_exp(xi)
+    xi2 = lie.se3_log(R, t)
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-6)
+
+
+def test_se3_compose_inverse(rng):
+    xa, xb = jnp.asarray(rng.normal(size=(6,))), jnp.asarray(rng.normal(size=(6,)))
+    Ra, ta = lie.se3_exp(xa)
+    Rb, tb = lie.se3_exp(xb)
+    Rc, tc = lie.se3_compose(Ra, ta, Rb, tb)
+    Ri, ti = lie.se3_inverse(Rc, tc)
+    Rid, tid = lie.se3_compose(Ri, ti, Rc, tc)
+    np.testing.assert_allclose(np.asarray(Rid), np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(tid), np.zeros(3), atol=1e-9)
+
+
+def test_ypr(rng):
+    yaw, pitch, roll = 0.3, -0.2, 0.7
+    R = lie.rotation_ypr(yaw, pitch, roll)
+    y, p, r = lie.matrix_to_ypr(R)
+    np.testing.assert_allclose([float(y), float(p), float(r)], [yaw, pitch, roll], atol=1e-9)
+
+
+def test_vmap_jit():
+    f = jax.jit(jax.vmap(lie.so3_exp))
+    w = jnp.ones((4, 3)) * 0.1
+    assert f(w).shape == (4, 3, 3)

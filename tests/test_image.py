@@ -1,0 +1,125 @@
+"""Image layer tests (cf. reference cpp/test/Sara/ImageProcessing/
+test_imageprocessing_linear_filtering.cpp, _gaussian_pyramid.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sara_tpu.image import (
+    gaussian_kernel_1d, separable_conv2d, gaussian_blur,
+    gaussian_pyramid, dog_pyramid, PyramidParams,
+    gradient, gradient_polar, laplacian, hessian, harris_cornerness,
+    resize_bilinear, downscale2, warp_bilinear, bilinear_sample,
+    rgb_to_gray, gray_from_any,
+)
+
+
+def test_gaussian_kernel_normalized():
+    k = gaussian_kernel_1d(1.6)
+    assert abs(float(k.sum()) - 1.0) < 1e-6
+    assert k.shape[0] == 2 * int(np.ceil(4 * 1.6)) + 1
+
+
+def test_separable_conv_matches_scipy(rng):
+    from scipy.ndimage import gaussian_filter
+    img = rng.random((40, 56)).astype(np.float32)
+    ours = np.asarray(gaussian_blur(jnp.asarray(img), 2.0))
+    ref = gaussian_filter(img, 2.0, mode="nearest", truncate=4.0)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_conv_constant_preserved():
+    img = jnp.full((32, 32), 3.25)
+    out = gaussian_blur(img, 1.6)
+    np.testing.assert_allclose(np.asarray(out), 3.25, atol=1e-5)
+
+
+def test_gradient_of_linear_ramp():
+    H, W = 24, 32
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    gx, gy = gradient(x)
+    inner = np.asarray(gx)[1:-1, 1:-1]
+    np.testing.assert_allclose(inner, 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy)[1:-1, 1:-1], 0.0, atol=1e-6)
+
+
+def test_gradient_polar():
+    H, W = 16, 16
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    mag, ori = gradient_polar(x)
+    np.testing.assert_allclose(np.asarray(mag)[2:-2, 2:-2], 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ori)[2:-2, 2:-2], 0.0, atol=1e-6)
+
+
+def test_laplacian_of_quadratic():
+    H, W = 24, 24
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    img = 0.5 * xs * xs
+    lap = np.asarray(laplacian(img))[2:-2, 2:-2]
+    np.testing.assert_allclose(lap, 1.0, atol=1e-4)
+
+
+def test_hessian_entries(rng):
+    H, W = 24, 24
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1))
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W))
+    img = xs * ys
+    dxx, dxy, dyy = hessian(img)
+    np.testing.assert_allclose(np.asarray(dxy)[2:-2, 2:-2], 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dxx)[2:-2, 2:-2], 0.0, atol=1e-4)
+
+
+def test_pyramid_structure():
+    img = jnp.zeros((128, 192))
+    p = PyramidParams()
+    gp = gaussian_pyramid(img, p)
+    assert gp.octaves[0].shape == (6, 128, 192)
+    assert gp.octaves[1].shape == (6, 64, 96)
+    assert gp.octave_scales[1] == 2.0
+    dg = dog_pyramid(gp)
+    assert dg.octaves[0].shape == (5, 128, 192)
+
+
+def test_pyramid_sigma_doubling(rng):
+    """Scale S of octave o must equal (decimated) scale 0 of octave o+1."""
+    img = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+    img = gaussian_blur(img, 2.0)  # smooth so decimation aliasing is small
+    p = PyramidParams(border=4)
+    gp = gaussian_pyramid(img, p)
+    seed = np.asarray(downscale2(gp.octaves[0][p.scales_per_octave]))
+    nxt = np.asarray(gp.octaves[1][0])
+    np.testing.assert_allclose(seed, nxt, atol=1e-6)
+
+
+def test_bilinear_sample_exact_at_integers(rng):
+    img = jnp.asarray(rng.random((16, 16)).astype(np.float32))
+    v = bilinear_sample(img, jnp.asarray(5.0), jnp.asarray(7.0))
+    np.testing.assert_allclose(float(v), float(img[7, 5]), atol=1e-7)
+
+
+def test_warp_identity(rng):
+    img = jnp.asarray(rng.random((20, 30)).astype(np.float32))
+    xx, yy = jnp.meshgrid(jnp.arange(30.0), jnp.arange(20.0))
+    out = warp_bilinear(img, xx, yy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_resize_shapes():
+    img = jnp.zeros((20, 30))
+    assert resize_bilinear(img, 40, 60).shape == (40, 60)
+
+
+def test_gray_conversions():
+    rgb = jnp.ones((4, 4, 3), jnp.float32)
+    np.testing.assert_allclose(np.asarray(rgb_to_gray(rgb)), 1.0, atol=1e-6)
+    u8 = (np.ones((4, 4, 3)) * 255).astype(np.uint8)
+    np.testing.assert_allclose(np.asarray(gray_from_any(u8)), 1.0, atol=1e-6)
+
+
+def test_harris_corner_response():
+    # A white square on black background: corners respond positively.
+    img = np.zeros((64, 64), np.float32)
+    img[24:40, 24:40] = 1.0
+    c = np.asarray(harris_cornerness(jnp.asarray(img), 0.8, 2.4))
+    # Corner pixels should beat edge midpoints.
+    assert c[24, 24] > c[24, 32]
