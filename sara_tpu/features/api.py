@@ -1,0 +1,117 @@
+"""Top-level SIFT keypoint computation: detect + orient + describe.
+
+TPU-native rebuild of the reference orchestrator
+(reference: cpp/src/DO/Sara/FeatureDetectors/SIFT.cpp:27-108
+``compute_sift_keypoints``; pipeline structure mirrors the reference GPU
+path Shakti/Halide/SIFT/V2/Pipeline.hpp:46-178 — per-octave device programs
+with fixed-capacity compaction between stages).
+
+Each octave is one jitted program (static shapes per input resolution, so
+XLA caches compilations); results are merged into a single fixed-capacity
+:class:`~sara_tpu.core.types.Keypoints` with positions/scales rescaled to
+input image coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from sara_tpu.core.types import Keypoints
+from sara_tpu.features.dog import DoGParams, detect_dog_octave
+from sara_tpu.features.orientation import dominant_orientations
+from sara_tpu.features.sift import sift_descriptors
+from sara_tpu.image.differential import gradient_polar
+from sara_tpu.image.pyramid import PyramidParams, gaussian_pyramid, dog_pyramid
+
+
+@dataclass(frozen=True)
+class SIFTParams:
+    """Static configuration for the SIFT pipeline (reference defaults)."""
+
+    pyramid: PyramidParams = field(default_factory=PyramidParams)
+    dog: DoGParams = field(default_factory=DoGParams)
+    max_orientations: int = 2
+    total_capacity: int = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("params", "sigmas"))
+def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
+                    sigmas: tuple):
+    """One octave: extrema -> orientations -> descriptors. All fixed shapes."""
+    det = detect_dog_octave(dog, params.dog)
+    mag, ori = gradient_polar(gauss)
+
+    theta, tvalid = dominant_orientations(
+        mag, ori, det["x"], det["y"], det["s"], sigmas,
+        max_peaks=params.max_orientations)
+
+    # Replicate each keypoint per valid orientation peak.
+    K = det["x"].shape[0]
+    P = params.max_orientations
+    rep = lambda a: jnp.repeat(a, P)
+    x = rep(det["x"])
+    y = rep(det["y"])
+    s = rep(det["s"])
+    val = rep(det["value"])
+    mask = rep(det["mask"]) & tvalid.reshape(-1)
+    th = theta.reshape(-1)
+
+    desc = sift_descriptors(mag, ori, x, y, s, th, sigmas)
+    return {"x": x, "y": y, "s": s, "value": val, "theta": th,
+            "desc": desc, "mask": mask}
+
+
+def compute_sift_keypoints(image: jnp.ndarray,
+                           params: SIFTParams = SIFTParams()) -> Keypoints:
+    """SIFT keypoints + descriptors of a (H, W) float image.
+
+    Returns a fixed-capacity Keypoints (capacity = params.total_capacity)
+    with positions in input-image pixel coordinates and absolute sigmas,
+    keeping the strongest responses across octaves
+    (reference rescaling: FeatureDetectors/SIFT.cpp:92-98).
+    """
+    gp = gaussian_pyramid(image, params.pyramid)
+    dg = dog_pyramid(gp)
+
+    chunks = []
+    for oct_idx, (gauss, dog) in enumerate(zip(gp.octaves, dg.octaves)):
+        out = _process_octave(gauss, dog, params, gp.sigmas)
+        scale_factor = gp.octave_scales[oct_idx]
+        sig_tab = jnp.asarray(gp.sigmas, jnp.float32)
+        # Continuous sigma via log-interpolation of the per-scale table.
+        k = float(params.pyramid.k)
+        sigma = params.pyramid.sigma_initial * jnp.power(k, out["s"])
+        chunks.append(Keypoints(
+            xy=jnp.stack([out["x"], out["y"]], axis=-1) * scale_factor,
+            scale=sigma * scale_factor,
+            orientation=out["theta"],
+            response=out["value"],
+            descriptors=out["desc"],
+            mask=out["mask"],
+        ))
+
+    merged = Keypoints(*(jnp.concatenate(parts, axis=0) for parts in zip(*chunks)))
+
+    # Keep the strongest total_capacity responses (masked-out rows last).
+    cap = params.total_capacity
+    score = jnp.where(merged.mask, jnp.abs(merged.response), -jnp.inf)
+    if merged.capacity <= cap:
+        pad = cap - merged.capacity
+        if pad:
+            merged = Keypoints(*(jnp.concatenate(
+                [f, jnp.zeros((pad,) + f.shape[1:], f.dtype)], axis=0)
+                for f in merged))
+        return merged
+    _, idx = jax.lax.top_k(score, cap)
+    return Keypoints(
+        xy=merged.xy[idx],
+        scale=merged.scale[idx],
+        orientation=merged.orientation[idx],
+        response=merged.response[idx],
+        descriptors=merged.descriptors[idx],
+        mask=merged.mask[idx],
+    )

@@ -14,6 +14,7 @@ from sara_tpu.image.transform import (
     downscale2,
     upscale2,
     warp_bilinear,
+    warp_homography,
     bilinear_sample,
 )
 from sara_tpu.image.differential import (
@@ -34,7 +35,8 @@ from sara_tpu.image.color import rgb_to_gray, gray_from_any
 
 __all__ = [
     "gaussian_kernel_1d", "separable_conv2d", "gaussian_blur",
-    "resize_bilinear", "downscale2", "upscale2", "warp_bilinear", "bilinear_sample",
+    "resize_bilinear", "downscale2", "upscale2", "warp_bilinear",
+    "warp_homography", "bilinear_sample",
     "gradient", "gradient_polar", "laplacian", "hessian",
     "second_moment_matrix", "harris_cornerness",
     "PyramidParams", "GaussianPyramid", "gaussian_pyramid", "dog_pyramid",
