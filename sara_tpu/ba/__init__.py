@@ -1,0 +1,7 @@
+"""Bundle adjustment: Levenberg-Marquardt + Schur complement, TPU-native."""
+
+from sara_tpu.ba.core import (
+    BAProblem, BAOptions, bundle_adjust, ba_cost, project_obs,
+)
+
+__all__ = ["BAProblem", "BAOptions", "bundle_adjust", "ba_cost", "project_obs"]

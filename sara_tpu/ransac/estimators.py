@@ -1,0 +1,201 @@
+"""Robust model estimators: H / F / E+pose / PnP.
+
+TPU-native equivalents of the reference's SfM building blocks
+(reference: cpp/src/DO/Sara/SfM/BuildingBlocks/RelativePoseEstimator.cpp:24-55
+— Nister RANSAC, 1000 iters, confidence .999, 4 px;
+CameraPoseEstimator.cpp:78-189 — P3P RANSAC, 5 px, 1000 iters, >=50 inliers;
+inlier predicates per MinimalSolvers/InlierPredicates.hpp:11-58 and
+P3PSolver.hpp:55-140). Each estimator is one jitted device program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sara_tpu.mvg.fivepoint import five_point_essential
+from sara_tpu.mvg.normalizer import (
+    denormalize_homography, hartley_normalize, normalize_points)
+from sara_tpu.mvg.p3p import p3p_lambda_twist
+from sara_tpu.mvg.solvers import (
+    four_point_homography, seven_point_fundamental)
+from sara_tpu.mvg.two_view import (
+    sampson_epipolar_distance, symmetric_transfer_error, two_view_geometry)
+from sara_tpu.ransac.engine import ransac
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def estimate_homography(key, u, v, mask, threshold: float = 4.0,
+                        num_samples: int = 1000):
+    """Robust homography from pixel correspondences (N, 2) x 2."""
+
+    def solver(sample):
+        su, sv = sample
+        un, sT = normalize_points(su)
+        vn, tT = normalize_points(sv)
+        Hn, valid = four_point_homography(un, vn)
+        H = jax.vmap(lambda M: denormalize_homography(M, sT, tT))(Hn)
+        return H, valid
+
+    def residual(H, data):
+        du, dv = data
+        return symmetric_transfer_error(H, du, dv)
+
+    return ransac(key, (u, v), mask, solver, residual,
+                  sample_size=4, num_samples=num_samples, threshold=threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def estimate_fundamental(key, u, v, mask, threshold: float = 2.0,
+                         num_samples: int = 1000):
+    """Robust fundamental matrix via the 7-point solver + Sampson distance."""
+
+    def solver(sample):
+        su, sv = sample
+        un, vn, Tu, Tv = hartley_normalize(su, sv)
+        Fn, valid = seven_point_fundamental(un, vn)
+        F = jax.vmap(lambda M: Tv.T @ M @ Tu)(Fn)
+        F = F / jnp.maximum(
+            jnp.linalg.norm(F.reshape(F.shape[0], -1), axis=-1), 1e-12
+        )[:, None, None]
+        return F, valid
+
+    def residual(F, data):
+        du, dv = data
+        return sampson_epipolar_distance(F, du, dv)
+
+    return ransac(key, (u, v), mask, solver, residual,
+                  sample_size=7, num_samples=num_samples, threshold=threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def estimate_relative_pose(key, u, v, mask, K1, K2,
+                           threshold_px: float = 4.0,
+                           num_samples: int = 1000,
+                           min_inliers: int = 100):
+    """Robust essential matrix + relative pose from pixel correspondences.
+
+    Mirrors the reference RelativePoseEstimator: normalize by K^-1, 5-point
+    solver, Sampson epipolar distance in normalized units with the pixel
+    threshold divided by the mean focal length
+    (reference: RelativePoseEstimator.cpp:16-55), then resolve the motion by
+    cheirality voting over the inliers.
+
+    Returns (RansacResult over E, R (3,3), t (3,)).
+    """
+    K1i = jnp.linalg.inv(K1)
+    K2i = jnp.linalg.inv(K2)
+
+    def norm(p, Ki):
+        ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+        q = ph @ Ki.T
+        return q[..., :2] / q[..., 2:]
+
+    un = norm(u, K1i)
+    vn = norm(v, K2i)
+    f_mean = 0.25 * (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1])
+    thr = threshold_px / f_mean
+
+    def solver(sample):
+        su, sv = sample
+        return five_point_essential(su, sv)
+
+    def residual(E, data):
+        du, dv = data
+        return sampson_epipolar_distance(E, du, dv)
+
+    res = ransac(key, (un, vn), mask, solver, residual,
+                 sample_size=5, num_samples=num_samples, threshold=thr,
+                 min_inliers=min_inliers)
+
+    # Local optimization: IRLS refit of E on the inliers (masked weighted
+    # linear system + essential projection), kept only if it improves the
+    # truncated-Sampson cost (LO-RANSAC-style polish; the reference leaves
+    # this to its BA).
+    E_refit = _refit_essential(un, vn, mask, res.inliers, 0.5 * thr)
+
+    def trunc_cost(E):
+        r = sampson_epipolar_distance(E, un, vn)
+        return jnp.sum(jnp.where(mask, jnp.minimum(r, thr), 0.0) ** 2), r
+
+    c_old, _ = trunc_cost(res.model)
+    c_new, r_new = trunc_cost(E_refit)
+    better = c_new < c_old
+    inl_new = (r_new < thr) & mask
+    E_best = jnp.where(better, E_refit, res.model)
+    inliers = jnp.where(better, inl_new, res.inliers)
+    res = res._replace(model=E_best, inliers=inliers,
+                       num_inliers=jnp.sum(inliers.astype(jnp.int32)))
+
+    ray1 = jnp.concatenate([un, jnp.ones_like(un[..., :1])], axis=-1)
+    ray2 = jnp.concatenate([vn, jnp.ones_like(vn[..., :1])], axis=-1)
+    R, t, X, cheiral, _ = two_view_geometry(res.model, ray1, ray2, res.inliers)
+    return res, R, t
+
+
+def _refit_essential(un, vn, mask, inliers, thr, iters: int = 3):
+    """IRLS refit of E: weighted masked linear system + essential projection,
+    with Cauchy weights on the Sampson residual (scale = thr)."""
+    ux, uy = un[..., 0], un[..., 1]
+    vx, vy = vn[..., 0], vn[..., 1]
+    one = jnp.ones_like(ux)
+    A = jnp.stack([vx * ux, vx * uy, vx, vy * ux, vy * uy, vy,
+                   ux, uy, one], axis=-1)
+
+    def fit(w):
+        Aw = A * w[:, None]
+        _, _, Vt = jnp.linalg.svd(Aw, full_matrices=True)
+        E = Vt[-1].reshape(3, 3)
+        U, _, V = jnp.linalg.svd(E)
+        E = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ V
+        return E / jnp.linalg.norm(E)
+
+    w = inliers.astype(A.dtype)
+    E = fit(w)
+    for _ in range(iters - 1):
+        r = sampson_epipolar_distance(E, un, vn)
+        w = mask.astype(A.dtype) / (1.0 + (r / thr) ** 2)
+        w = jnp.where(r < 3.0 * thr, w, 0.0)
+        E = fit(w)
+    return E
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def estimate_absolute_pose(key, Xw, rays, uv, K, mask,
+                           threshold_px: float = 5.0,
+                           num_samples: int = 1000,
+                           min_inliers: int = 50):
+    """Robust PnP: P3P over (scene point, unit ray) pairs, scored by pixel
+    reprojection + cheirality (reference: CameraPoseEstimator.cpp:78-189,
+    CheiralPnPConsistency in P3PSolver.hpp:55-140).
+
+    Args:
+      Xw: (N, 3) scene points; rays: (N, 3) unit bearing rays;
+      uv: (N, 2) observed pixels; K: (3, 3) intrinsics.
+    """
+
+    def solver(sample):
+        sX, sr = sample
+        R, t, valid = p3p_lambda_twist(sX, sr)
+        # Pack (R|t) as a (4, 3, 4) model batch.
+        return jnp.concatenate([R, t[..., None]], axis=-1), valid
+
+    def residual(Rt, data):
+        dX, dr = data
+        R, t = Rt[:, :3], Rt[:, 3]
+        Xc = dX @ R.T + t
+        proj = Xc @ K.T
+        w = jnp.where(jnp.abs(proj[..., 2:]) < 1e-12, 1e-12, proj[..., 2:])
+        pix = proj[..., :2] / w
+        obs = uv
+        err = jnp.linalg.norm(pix - obs, axis=-1)
+        return jnp.where(Xc[..., 2] > 0, err, jnp.inf)
+
+    res = ransac(key, (Xw, rays), mask, solver, residual,
+                 sample_size=3, num_samples=num_samples,
+                 threshold=threshold_px, min_inliers=min_inliers)
+    R = res.model[:, :3]
+    t = res.model[:, 3]
+    return res, R, t
