@@ -1,0 +1,324 @@
+"""Incremental visual odometry / SfM pipeline.
+
+Rebuild of the reference's OdometryPipeline
+(reference: cpp/src/DO/Sara/SfM/Odometry/OdometryPipeline.cpp:29-423; call
+stack per SURVEY.md §3.1):
+
+  per frame: undistort -> detect SIFT -> match vs previous -> E-RANSAC
+  relative pose -> update feature tracks -> PnP (>= 3 poses) ->
+  triangulate new tracks -> bundle adjust -> write back.
+
+Division of labor (TPU-first): detection / matching / RANSAC / triangulation
+/ BA are jitted fixed-capacity device programs; the pose graph, tracks and
+map bookkeeping live on the host (NumPy + native union-find). Device calls
+use bucketed capacities so shapes recompile only when buckets grow.
+
+Failure handling mirrors the reference: < min inliers for the relative pose
+or PnP aborts geometry growth for that frame and the pipeline continues
+(reference: OdometryPipeline.cpp:173-179, 270-274).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sara_tpu.core.types import Keypoints
+from sara_tpu.features import SIFTParams, compute_sift_keypoints
+from sara_tpu.image import gray_from_any, warp_bilinear
+from sara_tpu.matching import MatchParams, match_descriptors
+from sara_tpu.mvg import triangulate_linear
+from sara_tpu.ransac import estimate_absolute_pose, estimate_relative_pose
+from sara_tpu.ba import BAProblem, BAOptions, bundle_adjust
+from sara_tpu.sfm.pointcloud import PointCloudGenerator
+from sara_tpu.sfm.pose_graph import CameraPoseGraph
+from sara_tpu.sfm.tracker import FeatureTracker
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Pipeline knobs (defaults mirror the reference, FeatureParams.hpp:8-14,
+    RelativePoseEstimator.hpp:18-20, CameraPoseEstimator.hpp:41-49)."""
+
+    sift: SIFTParams = field(default_factory=SIFTParams)
+    match_ratio: float = 0.8
+    rel_pose_samples: int = 1000
+    rel_pose_threshold_px: float = 4.0
+    rel_pose_min_inliers: int = 100
+    pnp_samples: int = 1000
+    pnp_threshold_px: float = 5.0
+    pnp_min_inliers: int = 50
+    ba_options: BAOptions = field(default_factory=lambda: BAOptions(max_iters=20))
+    ba_window: int = 8            # poses in the BA window (0 = all)
+    ba_every: int = 1             # run BA every k accepted frames
+    min_track_length: int = 2
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    """Round up to a power of two (shape bucketing to limit recompiles)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_to(a: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + a.shape[1:], fill, a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+class OdometryPipeline:
+    def __init__(self, K: np.ndarray, config: OdometryConfig = OdometryConfig(),
+                 undistortion_maps=None):
+        self.K = np.asarray(K, float)
+        self.cfg = config
+        self.maps = undistortion_maps  # (map_u, map_v) or None
+        self.pose_graph = CameraPoseGraph()
+        self.tracker = FeatureTracker()
+        self.point_cloud = PointCloudGenerator()
+        # Per accepted frame: host copies of keypoint data.
+        self.frames: list[dict] = []
+        self._prev_keypoints: Optional[Keypoints] = None
+        self._frames_since_ba = 0
+        self._key = jax.random.PRNGKey(0)
+
+    # -- helpers ------------------------------------------------------------
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _detect(self, image) -> Keypoints:
+        img = gray_from_any(image)
+        if self.maps is not None:
+            img = warp_bilinear(img, self.maps[0], self.maps[1])
+        return compute_sift_keypoints(img, self.cfg.sift)
+
+    def _rays(self, xy: np.ndarray) -> np.ndarray:
+        ph = np.concatenate([xy, np.ones((len(xy), 1))], axis=1)
+        r = ph @ np.linalg.inv(self.K).T
+        return r / np.linalg.norm(r, axis=1, keepdims=True)
+
+    # -- main entry ---------------------------------------------------------
+
+    def process_frame(self, image, frame_index: int = -1) -> bool:
+        """Process one (already frame-skipped) video frame.
+
+        Returns True if a new pose was added to the graph.
+        """
+        kp = self._detect(image)
+        return self.process_keypoints(kp, frame_index)
+
+    def process_keypoints(self, kp: Keypoints, frame_index: int = -1) -> bool:
+        """Geometric core of process_frame, driveable with precomputed
+        keypoints (used by tests and offline pipelines)."""
+        kp_host = {
+            "xy": np.asarray(kp.xy), "scale": np.asarray(kp.scale),
+            "response": np.asarray(kp.response), "mask": np.asarray(kp.mask),
+        }
+        n_kp = int(kp_host["mask"].sum())
+
+        if len(self.pose_graph) == 0:
+            self._accept_first_frame(kp, kp_host, frame_index)
+            return True
+
+        # Match previous accepted frame vs current.
+        m = match_descriptors(self._prev_keypoints, kp,
+                              MatchParams(ratio=self.cfg.match_ratio))
+        m_mask = np.asarray(m.mask)
+        mi = np.asarray(m.i)
+        mj = np.asarray(m.j)
+
+        u = jnp.asarray(np.asarray(self._prev_keypoints.xy))
+        v = jnp.asarray(kp_host["xy"])[jnp.asarray(mj)]
+        res, R_rel, t_rel = estimate_relative_pose(
+            self._next_key(), u, v, m.mask,
+            jnp.asarray(self.K), jnp.asarray(self.K),
+            threshold_px=self.cfg.rel_pose_threshold_px,
+            num_samples=self.cfg.rel_pose_samples,
+            min_inliers=self.cfg.rel_pose_min_inliers)
+        if not bool(res.success):
+            return False
+        inl = np.asarray(res.inliers) & m_mask
+        R_rel = np.asarray(R_rel, float)
+        t_rel = np.asarray(t_rel, float)
+        t_rel = t_rel / max(np.linalg.norm(t_rel), 1e-12)
+
+        # Register the frame and its inlier matches with the tracker.
+        prev_frame = len(self.frames) - 1
+        fid = self.tracker.add_frame(kp.capacity, kp_host["response"])
+        self.tracker.add_matches(prev_frame, fid, mi[inl], mj[inl])
+        self.tracker.compute_tracks(self.cfg.min_track_length)
+
+        # Absolute pose of the new frame.
+        R_prev, t_prev = self.pose_graph.pose(prev_frame)
+        pose_from_pnp = False
+        if len(self.pose_graph) >= 2 and self.point_cloud.num_points >= 8:
+            got = self._estimate_pnp(fid, kp_host)
+            if got is not None:
+                R_abs, t_abs = got
+                pose_from_pnp = True
+        if not pose_from_pnp:
+            # Compose the (unit-scale) relative pose onto the previous one.
+            R_abs = R_rel @ R_prev
+            t_abs = R_rel @ t_prev + t_rel
+        v_id = self.pose_graph.add_absolute_pose(R_abs, t_abs, frame_index)
+        self.pose_graph.add_relative_pose(prev_frame, v_id, R_rel, t_rel,
+                                          int(m_mask.sum()), int(inl.sum()))
+
+        self.frames.append({"kp": kp_host, "tracker_id": fid})
+        self._prev_keypoints = kp
+
+        # Grow the map from fresh two-view tracks, then bundle adjust.
+        self._triangulate_new_tracks(prev_frame, v_id, mi[inl], mj[inl])
+        self._frames_since_ba += 1
+        if (len(self.pose_graph) >= 3
+                and self._frames_since_ba >= self.cfg.ba_every):
+            self._bundle_adjust()
+            self._frames_since_ba = 0
+        return True
+
+    # -- stages -------------------------------------------------------------
+
+    def _accept_first_frame(self, kp, kp_host, frame_index):
+        self.pose_graph.add_absolute_pose(np.eye(3), np.zeros(3), frame_index)
+        fid = self.tracker.add_frame(kp.capacity, kp_host["response"])
+        self.frames.append({"kp": kp_host, "tracker_id": fid})
+        self._prev_keypoints = kp
+
+    def _estimate_pnp(self, fid: int, kp_host):
+        """PnP of the current frame against the existing map
+        (reference: CameraPoseEstimator.cpp:78-189)."""
+        feat_idx, track_ids = self.tracker.tracks_in_frame(fid)
+        if len(feat_idx) == 0:
+            return None
+        Xs, uvs = [], []
+        for fi, ti in zip(feat_idx, track_ids):
+            p = self.point_cloud.point_of_track(int(ti))
+            if p is None:
+                continue
+            Xs.append(p)
+            uvs.append(kp_host["xy"][fi])
+        if len(Xs) < max(6, self.cfg.pnp_min_inliers // 4):
+            return None
+        X = np.asarray(Xs)
+        uv = np.asarray(uvs)
+        rays = self._rays(uv)
+        cap = _bucket(len(X))
+        mask = np.zeros(cap, bool)
+        mask[: len(X)] = True
+        res, R, t = estimate_absolute_pose(
+            self._next_key(),
+            jnp.asarray(_pad_to(X, cap)), jnp.asarray(_pad_to(rays, cap)),
+            jnp.asarray(_pad_to(uv, cap)), jnp.asarray(self.K),
+            jnp.asarray(mask),
+            threshold_px=self.cfg.pnp_threshold_px,
+            num_samples=self.cfg.pnp_samples,
+            min_inliers=min(self.cfg.pnp_min_inliers, max(6, len(X) // 2)))
+        if not bool(res.success):
+            return None
+        return np.asarray(R, float), np.asarray(t, float)
+
+    def _triangulate_new_tracks(self, va: int, vb: int, ia, ib):
+        """Create scene points for inlier matches whose tracks lack one
+        (reference: PointCloudGenerator::grow_point_cloud, .cpp:289-427)."""
+        if len(ia) == 0:
+            return
+        tracks = self.tracker.track_of_feature
+        ga = self.tracker.global_id(self.frames[va]["tracker_id"], ia)
+        gb = self.tracker.global_id(self.frames[vb]["tracker_id"], ib)
+        ta = tracks[ga]
+        need = [k for k in range(len(ia))
+                if ta[k] >= 0 and not self.point_cloud.track_has_point(int(ta[k]))]
+        if not need:
+            return
+        sel = np.asarray(need)
+        xa = self.frames[va]["kp"]["xy"][np.asarray(ia)[sel]]
+        xb = self.frames[vb]["kp"]["xy"][np.asarray(ib)[sel]]
+        Ra, tA = self.pose_graph.pose(va)
+        Rb, tB = self.pose_graph.pose(vb)
+        # Relative motion a -> b.
+        R = Rb @ Ra.T
+        t = tB - R @ tA
+        ra = self._rays(xa)
+        rb = self._rays(xb)
+        X, d1, d2 = triangulate_linear(jnp.asarray(R), jnp.asarray(t),
+                                       jnp.asarray(ra), jnp.asarray(rb))
+        X = np.asarray(X)
+        d1 = np.asarray(d1)
+        d2 = np.asarray(d2)
+        cheiral = (d1 > 0) & (d2 > 0)
+        # Camera-a frame -> world: Xw = Ra^T (Xc - tA).
+        Xw = (Ra.T @ (X.T - tA[:, None])).T
+        self.point_cloud.add_points(ta[sel][cheiral], Xw[cheiral])
+
+    def _bundle_adjust(self):
+        """Windowed BA over the latest poses (the reference adjusts the whole
+        graph each frame, OdometryPipeline.cpp:315-422; windowing is the
+        scalable default here — set ba_window=0 for full-graph behavior)."""
+        n_poses = len(self.pose_graph)
+        w = self.cfg.ba_window
+        start = 0 if w == 0 else max(0, n_poses - w)
+        cams = list(range(start, n_poses))
+        cam_of_vertex = {v: i for i, v in enumerate(cams)}
+
+        members = self.tracker.track_members()
+        obs_cam, obs_pt, obs_uv = [], [], []
+        pt_ids, pt_xyz = [], []
+        pt_index = {}
+        for tid, (frames_arr, feats_arr) in members.items():
+            p = self.point_cloud.point_of_track(int(tid))
+            if p is None:
+                continue
+            sel = [(f, ft) for f, ft in zip(frames_arr, feats_arr)
+                   if f in cam_of_vertex]
+            if len(sel) < 2:
+                continue
+            if tid not in pt_index:
+                pt_index[tid] = len(pt_ids)
+                pt_ids.append(tid)
+                pt_xyz.append(p)
+            for f, ft in sel:
+                obs_cam.append(cam_of_vertex[f])
+                obs_pt.append(pt_index[tid])
+                obs_uv.append(self.frames[f]["kp"]["xy"][ft])
+        if len(pt_ids) < 8 or len(obs_cam) < 24:
+            return
+
+        C = len(cams)
+        P = _bucket(len(pt_ids), 64)
+        O = _bucket(len(obs_cam), 256)
+        poses = self.pose_graph.poses_se3()[start:]
+        pose_fixed = np.zeros(C, bool)
+        pose_fixed[0] = True
+        if start == 0 and C >= 2:
+            # Freeze the second camera's z-translation to pin the global
+            # scale (monocular gauge).
+            pass
+
+        intr = np.array([self.K[0, 0], self.K[1, 1],
+                         self.K[0, 2], self.K[1, 2]])
+        prob = BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(_pad_to(np.asarray(pt_xyz), P)),
+            intrinsics=jnp.asarray(intr),
+            cam_idx=jnp.asarray(_pad_to(np.asarray(obs_cam, np.int32), O)),
+            pt_idx=jnp.asarray(_pad_to(np.asarray(obs_pt, np.int32), O)),
+            uv=jnp.asarray(_pad_to(np.asarray(obs_uv), O)),
+            obs_mask=jnp.asarray(_pad_to(np.ones(len(obs_cam), bool), O, False)),
+            pose_fixed=jnp.asarray(pose_fixed),
+            point_fixed=jnp.asarray(~_pad_to(np.ones(len(pt_ids), bool), P, False)),
+        )
+        out, info = bundle_adjust(prob, self.cfg.ba_options)
+        new_poses = np.asarray(out.poses)
+        packed = self.pose_graph.poses_se3()
+        packed[start:] = new_poses
+        self.pose_graph.update_from_se3(packed)
+        self.point_cloud.update_points(pt_ids,
+                                       np.asarray(out.points)[: len(pt_ids)])

@@ -1,0 +1,136 @@
+"""Feature tracker: incremental tracks from inlier matches.
+
+Host-side rebuild of the reference's FeatureTracker
+(reference: cpp/src/DO/Sara/SfM/Graph/FeatureTracker.cpp:21-190 — add inlier
+matches as feature-graph edges, recompute connected components with
+union-find, filter consistent tracks; FeatureGID = (pose vertex, feature
+index), SfM/Graph/FeatureGraph.hpp:20-75).
+
+Features get global ids ``offset[frame] + feature_index``; components come
+from the native union-find. A *track* is a component with >= min_length
+members after per-frame non-max suppression (strongest response per frame,
+reference: PointCloudGenerator.cpp:47-93).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from sara_tpu.sfm.disjoint_sets import connected_components
+
+
+class FeatureTracker:
+    def __init__(self):
+        self.offsets: List[int] = []     # global id base per frame
+        self.counts: List[int] = []
+        self.responses: List[np.ndarray] = []
+        self.edges_a: List[np.ndarray] = []
+        self.edges_b: List[np.ndarray] = []
+        self._total = 0
+        # Cached results of the last compute_tracks() call.
+        self.track_of_feature: np.ndarray | None = None
+        self.num_tracks = 0
+
+    # -- construction -------------------------------------------------------
+
+    def add_frame(self, num_features: int, responses: np.ndarray) -> int:
+        """Register a frame's (valid) features; returns the frame id."""
+        frame_id = len(self.offsets)
+        self.offsets.append(self._total)
+        self.counts.append(int(num_features))
+        self.responses.append(np.asarray(responses, np.float32))
+        self._total += int(num_features)
+        return frame_id
+
+    def add_matches(self, frame_a: int, frame_b: int,
+                    ia: np.ndarray, ib: np.ndarray):
+        """Add inlier matches (feature indices within each frame)."""
+        ga = self.offsets[frame_a] + np.asarray(ia, np.int64)
+        gb = self.offsets[frame_b] + np.asarray(ib, np.int64)
+        self.edges_a.append(ga)
+        self.edges_b.append(gb)
+
+    def global_id(self, frame: int, idx) -> np.ndarray:
+        return self.offsets[frame] + np.asarray(idx, np.int64)
+
+    def frame_of(self, gid: np.ndarray) -> np.ndarray:
+        """Frame index of each global feature id."""
+        bounds = np.asarray(self.offsets + [self._total])
+        return np.searchsorted(bounds, np.asarray(gid), side="right") - 1
+
+    # -- track computation --------------------------------------------------
+
+    def compute_tracks(self, min_length: int = 2):
+        """Recompute connected components -> track labels.
+
+        Returns (track_of_feature (N,) with -1 for untracked features,
+        num_tracks). A component is a track if, after per-frame NMS, it still
+        spans >= min_length distinct frames.
+        """
+        n = self._total
+        if n == 0:
+            self.track_of_feature = np.empty(0, np.int64)
+            self.num_tracks = 0
+            return self.track_of_feature, 0
+        if self.edges_a:
+            a = np.concatenate(self.edges_a)
+            b = np.concatenate(self.edges_b)
+        else:
+            a = np.empty(0, np.int64)
+            b = np.empty(0, np.int64)
+        labels, k = connected_components(n, a, b)
+
+        frames = self.frame_of(np.arange(n))
+        resp = np.concatenate(self.responses) if self.responses else np.empty(0)
+
+        # Per-frame NMS within each component: keep the strongest |response|
+        # feature of each (component, frame) pair.
+        order = np.lexsort((-np.abs(resp), frames, labels))
+        lab_o = labels[order]
+        frm_o = frames[order]
+        keep_first = np.ones(n, bool)
+        keep_first[1:] = (lab_o[1:] != lab_o[:-1]) | (frm_o[1:] != frm_o[:-1])
+        kept = order[keep_first]
+
+        # Count distinct frames per component (over kept members).
+        comp_sizes = np.bincount(labels[kept], minlength=k)
+        good = comp_sizes >= min_length
+
+        out = np.full(n, -1, np.int64)
+        # Dense track ids over good components.
+        remap = np.full(k, -1, np.int64)
+        remap[good] = np.arange(int(good.sum()))
+        out[kept] = remap[labels[kept]]
+        self.track_of_feature = out
+        self.num_tracks = int(good.sum())
+        return out, self.num_tracks
+
+    def tracks_in_frame(self, frame: int):
+        """(feature_idx, track_id) arrays for tracked features of a frame."""
+        if self.track_of_feature is None:
+            self.compute_tracks()
+        lo = self.offsets[frame]
+        hi = lo + self.counts[frame]
+        t = self.track_of_feature[lo:hi]
+        sel = t >= 0
+        return np.nonzero(sel)[0], t[sel]
+
+    def track_members(self):
+        """Dict track_id -> (frames array, feature_idx array), kept members
+        only, sorted chronologically."""
+        if self.track_of_feature is None:
+            self.compute_tracks()
+        gids = np.nonzero(self.track_of_feature >= 0)[0]
+        tids = self.track_of_feature[gids]
+        frames = self.frame_of(gids)
+        feats = gids - np.asarray(self.offsets)[frames]
+        out: Dict[int, tuple] = {}
+        order = np.lexsort((frames, tids))
+        gids, tids, frames, feats = gids[order], tids[order], frames[order], feats[order]
+        starts = np.nonzero(np.r_[True, tids[1:] != tids[:-1]])[0]
+        ends = np.r_[starts[1:], len(tids)]
+        for s, e in zip(starts, ends):
+            out[int(tids[s])] = (frames[s:e], feats[s:e])
+        return out

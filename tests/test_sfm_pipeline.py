@@ -1,0 +1,119 @@
+"""Incremental SfM/VO pipeline integration tests on synthetic sequences.
+
+Drives OdometryPipeline.process_keypoints with synthetic keypoints whose
+descriptors identify world points uniquely (perfect matching), so the test
+isolates the geometric pipeline: relative pose, tracks, PnP, triangulation,
+windowed BA. Trajectory is checked by ATE after similarity alignment
+(BASELINE.md config 2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometry_fixtures import default_K
+from sara_tpu.core.types import Keypoints
+from sara_tpu.sfm import OdometryPipeline, OdometryConfig, FeatureTracker
+from sara_tpu.sfm.disjoint_sets import DisjointSets, connected_components
+from sara_tpu.utils import ate_rmse
+
+
+def _make_sequence(n_frames=10, n_points=300, noise=0.3, seed=0, capacity=512):
+    """Cameras orbiting a point cloud; returns (keypoint sets, gt centers)."""
+    rs = np.random.RandomState(seed)
+    X = rs.uniform(-4, 4, (n_points, 3)) + np.array([0, 0, 12.0])
+    desc = rs.normal(size=(n_points, 128))
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    K = default_K()
+
+    kps = []
+    centers = []
+    for f in range(n_frames):
+        ang = 0.04 * f
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]])
+        c = np.array([2.0 * np.sin(ang * 2.5), 0.1 * f, 0.5 * f])
+        t = -R @ c
+        centers.append(c)
+        Xc = X @ R.T + t
+        vis = Xc[:, 2] > 1.0
+        uv = (Xc @ K.T)
+        uv = uv[:, :2] / uv[:, 2:]
+        inside = (uv[:, 0] >= 0) & (uv[:, 0] < 1024) & (uv[:, 1] >= 0) & (uv[:, 1] < 768)
+        vis &= inside
+        idx = np.nonzero(vis)[0][:capacity]
+        n = len(idx)
+        xy = np.zeros((capacity, 2), np.float32)
+        xy[:n] = uv[idx] + rs.normal(scale=noise, size=(n, 2))
+        d = np.zeros((capacity, 128), np.float32)
+        d[:n] = desc[idx]
+        mask = np.zeros(capacity, bool)
+        mask[:n] = True
+        kp = Keypoints(
+            xy=jnp.asarray(xy),
+            scale=jnp.asarray(np.full(capacity, 2.0, np.float32)),
+            orientation=jnp.asarray(np.zeros(capacity, np.float32)),
+            response=jnp.asarray(np.where(mask, 1.0, 0.0).astype(np.float32)),
+            descriptors=jnp.asarray(d),
+            mask=jnp.asarray(mask),
+        )
+        kps.append(kp)
+    return kps, np.asarray(centers), K
+
+
+def test_disjoint_sets_native_or_fallback():
+    ds = DisjointSets(10)
+    ds.union_edges(np.array([0, 1, 5]), np.array([1, 2, 6]))
+    c = ds.components()
+    assert c[0] == c[1] == c[2]
+    assert c[5] == c[6]
+    assert c[0] != c[5]
+    labels, k = connected_components(6, np.array([0, 2]), np.array([1, 3]))
+    assert k == 4
+
+
+def test_tracker_basic():
+    tr = FeatureTracker()
+    f0 = tr.add_frame(5, np.ones(5))
+    f1 = tr.add_frame(5, np.ones(5))
+    f2 = tr.add_frame(5, np.ones(5))
+    tr.add_matches(f0, f1, [0, 1], [2, 3])
+    tr.add_matches(f1, f2, [2], [4])
+    labels, k = tr.compute_tracks(min_length=2)
+    # Track A: f0:0 - f1:2 - f2:4; Track B: f0:1 - f1:3.
+    assert k == 2
+    gid = tr.global_id(f2, [4])[0]
+    assert labels[gid] >= 0
+    members = tr.track_members()
+    lens = sorted(len(v[0]) for v in members.values())
+    assert lens == [2, 3]
+
+
+def test_vo_pipeline_10_frames():
+    kps, centers_gt, K = _make_sequence(n_frames=10, noise=0.2)
+    cfg = OdometryConfig(rel_pose_samples=200, pnp_samples=200,
+                         rel_pose_min_inliers=50, pnp_min_inliers=20,
+                         ba_window=6)
+    pipe = OdometryPipeline(K, cfg)
+    accepted = 0
+    for f, kp in enumerate(kps):
+        if pipe.process_keypoints(kp, f):
+            accepted += 1
+    assert accepted == 10, f"only {accepted}/10 frames accepted"
+    traj = pipe.pose_graph.trajectory()
+    err = ate_rmse(traj, centers_gt)
+    # Trajectory spans ~5 units; demand small relative ATE.
+    assert err < 0.15, f"ATE {err}"
+    assert pipe.point_cloud.num_points > 100
+
+
+def test_vo_pipeline_noise_free_is_tight():
+    kps, centers_gt, K = _make_sequence(n_frames=8, noise=0.0, seed=3)
+    cfg = OdometryConfig(rel_pose_samples=200, pnp_samples=200,
+                         rel_pose_min_inliers=50, pnp_min_inliers=20,
+                         ba_window=0)
+    pipe = OdometryPipeline(K, cfg)
+    for f, kp in enumerate(kps):
+        pipe.process_keypoints(kp, f)
+    traj = pipe.pose_graph.trajectory()
+    err = ate_rmse(traj, centers_gt)
+    assert err < 0.02, f"ATE {err}"
