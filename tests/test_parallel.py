@@ -1,0 +1,101 @@
+"""Multi-device tests on the CPU-simulated 8-device mesh (SURVEY.md §4:
+sharded BA must equal single-device BA to tolerance)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geometry_fixtures import default_K
+from sara_tpu.ba import BAProblem, BAOptions, bundle_adjust
+from sara_tpu.parallel import (
+    make_mesh, distributed_bundle_adjust, batched_match_pairs)
+
+
+def _toy_problem(seed=0, C=4, P=96, O=400):
+    rs = np.random.RandomState(seed)
+    X = rs.uniform(-2, 2, (P, 3)) + np.array([0, 0, 8.0])
+    K = default_K()
+    intr = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+    poses = np.zeros((C, 6))
+    poses[:, 3] = np.linspace(0, 1.0, C)
+    cam_idx = rs.randint(0, C, O).astype(np.int32)
+    pt_idx = rs.randint(0, P, O).astype(np.int32)
+    uv = []
+    for c, p in zip(cam_idx, pt_idx):
+        Xc = X[p] + poses[c, 3:]
+        uv.append([intr[0] * Xc[0] / Xc[2] + intr[2],
+                   intr[1] * Xc[1] / Xc[2] + intr[3]])
+    uv = np.asarray(uv) + rs.normal(scale=0.3, size=(O, 2))
+    pose_fixed = np.zeros(C, bool)
+    pose_fixed[0] = True
+    return BAProblem(
+        poses=jnp.asarray(poses + np.concatenate(
+            [np.zeros((1, 6)), rs.normal(scale=5e-3, size=(C - 1, 6))])),
+        points=jnp.asarray(X + rs.normal(scale=2e-2, size=X.shape)),
+        intrinsics=jnp.asarray(intr),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        obs_mask=jnp.ones(O, bool),
+        pose_fixed=jnp.asarray(pose_fixed),
+        point_fixed=jnp.zeros(P, bool),
+    )
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_sharded_ba_matches_single_device():
+    prob = _toy_problem()
+    opts = BAOptions(max_iters=10, cg_iters=20)
+    ref, ref_info = bundle_adjust(prob, opts)
+    mesh = make_mesh(8)
+    out, info = distributed_bundle_adjust(prob, mesh, opts)
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.points)[: prob.points.shape[0]],
+        np.asarray(ref.points), atol=1e-5)
+    assert abs(float(info["final_cost"]) - float(ref_info["final_cost"])) < 1e-4
+
+
+def test_sharded_ba_unpadded_sizes():
+    # Observation/point counts NOT divisible by the mesh size.
+    prob = _toy_problem(C=3, P=37, O=101)
+    opts = BAOptions(max_iters=5, cg_iters=10)
+    ref, _ = bundle_adjust(prob, opts)
+    mesh = make_mesh(8)
+    out, _ = distributed_bundle_adjust(prob, mesh, opts)
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses),
+                               atol=1e-6)
+
+
+def test_batched_matching_on_mesh():
+    rs = np.random.RandomState(0)
+    B, N, D = 8, 32, 16
+    da = rs.normal(size=(B, N, D)).astype(np.float32)
+    # b = permuted copies of a -> perfect matches.
+    perm = np.stack([rs.permutation(N) for _ in range(B)])
+    db = np.stack([da[b][perm[b]] for b in range(B)])
+    m = np.ones((B, N), bool)
+    mesh = make_mesh(8)
+    j, ok, d1 = batched_match_pairs(jnp.asarray(da), jnp.asarray(m),
+                                    jnp.asarray(db), jnp.asarray(m), mesh)
+    j, ok = np.asarray(j), np.asarray(ok)
+    assert ok.all()
+    for b in range(B):
+        # row i of a matches the row of db holding da[i].
+        inv = np.argsort(perm[b])
+        np.testing.assert_array_equal(j[b], inv)
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

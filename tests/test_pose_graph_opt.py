@@ -1,0 +1,143 @@
+"""Pose-graph optimization + rotation averaging tests (BASELINE config 3
+building blocks; no reference counterpart — SURVEY.md §5)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from geometry_fixtures import rotation_distance
+from sara_tpu.core import lie
+from sara_tpu.sfm.pose_graph_opt import (
+    PoseGraphProblem, optimize_pose_graph, pose_graph_cost, edge_residual,
+    relative_pose_to_packing)
+from sara_tpu.sfm.rotation_averaging import average_rotations
+
+
+def _circle_trajectory(n, radius=5.0):
+    """Ground-truth poses on a loop."""
+    poses = []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                      [-np.sin(ang), 0, np.cos(ang)]])
+        c = radius * np.array([np.sin(ang), 0.0, 1.0 - np.cos(ang)])
+        t = -R @ c
+        poses.append((R, t))
+    return poses
+
+
+def _rel(pa, pb):
+    """Relative motion a->b: T_b T_a^-1."""
+    Ra, ta = pa
+    Rb, tb = pb
+    R = Rb @ Ra.T
+    t = tb - R @ ta
+    return R, t
+
+
+def test_edge_residual_zero_for_consistent():
+    poses = _circle_trajectory(4)
+    pk = []
+    for R, t in poses:
+        pk.append(np.concatenate([np.asarray(lie.so3_log(jnp.asarray(R))), t]))
+    R, t = _rel(poses[0], poses[1])
+    meas = relative_pose_to_packing(R, t)
+    r = edge_residual(jnp.asarray(pk[0]), jnp.asarray(pk[1]), meas)
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-8)
+
+
+def test_loop_closure_corrects_drift():
+    n = 30
+    rs = np.random.RandomState(0)
+    gt = _circle_trajectory(n)
+
+    # Odometry chain with drift: integrate noisy relative poses.
+    noisy = [gt[0]]
+    edges = []
+    for k in range(1, n):
+        R, t = _rel(gt[k - 1], gt[k])
+        Rn = np.asarray(lie.so3_exp(jnp.asarray(
+            lie.so3_log(jnp.asarray(R)) + rs.normal(scale=0.01, size=3))))
+        tn = t + rs.normal(scale=0.02, size=3)
+        Rp, tp = noisy[-1]
+        noisy.append((Rn @ Rp, Rn @ tp + tn))
+        edges.append((k - 1, k, R, t, 1.0))
+    # Loop-closure edge with the exact measurement.
+    Rlc, tlc = _rel(gt[n - 1], gt[0])
+    edges.append((n - 1, 0, Rlc, tlc, 10.0))
+
+    packed = np.stack([
+        np.concatenate([np.asarray(lie.so3_log(jnp.asarray(R))), t])
+        for R, t in noisy])
+    E = len(edges)
+    prob = PoseGraphProblem(
+        poses=jnp.asarray(packed),
+        edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+        edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+        rel_pose=jnp.stack([relative_pose_to_packing(e[2], e[3]) for e in edges]),
+        weight=jnp.asarray([e[4] for e in edges]),
+        edge_mask=jnp.ones(E, bool),
+        pose_fixed=jnp.asarray([True] + [False] * (n - 1)),
+    )
+    c0 = float(pose_graph_cost(prob))
+    out, info = optimize_pose_graph(prob, max_iters=25)
+    cf = float(info["final_cost"])
+    assert cf < 0.1 * c0
+
+    # Drifted endpoint error must shrink substantially after optimization.
+    def center(p6):
+        R = np.asarray(lie.so3_exp(jnp.asarray(p6[:3])))
+        return -R.T @ np.asarray(p6[3:])
+
+    before = np.linalg.norm(center(packed[n - 1]) - (-gt[n - 1][0].T @ gt[n - 1][1]))
+    after = np.linalg.norm(center(np.asarray(out.poses[n - 1]))
+                           - (-gt[n - 1][0].T @ gt[n - 1][1]))
+    assert after < 0.5 * before, f"before {before}, after {after}"
+
+
+def test_rotation_averaging():
+    n = 20
+    rs = np.random.RandomState(1)
+    gt = _circle_trajectory(n)
+    edge_i, edge_j, Rrels = [], [], []
+    for k in range(n):
+        for d in (1, 2):
+            j = (k + d) % n
+            R, _ = _rel(gt[k], gt[j])
+            Rn = np.asarray(lie.so3_exp(jnp.asarray(
+                lie.so3_log(jnp.asarray(R)) + rs.normal(scale=0.01, size=3))))
+            edge_i.append(k)
+            edge_j.append(j)
+            Rrels.append(Rn)
+    R_est = average_rotations(
+        n, jnp.asarray(edge_i, jnp.int32), jnp.asarray(edge_j, jnp.int32),
+        jnp.asarray(np.stack(Rrels)))
+    R_est = np.asarray(R_est)
+    # Compare up to the global gauge R_est[0] = I vs gt[0][0].
+    G = gt[0][0] @ R_est[0].T
+    errs = [rotation_distance(G @ R_est[k], gt[k][0]) for k in range(n)]
+    assert max(errs) < 0.05, f"max rotation error {max(errs)}"
+
+
+def test_rotation_averaging_with_outliers():
+    n = 16
+    rs = np.random.RandomState(2)
+    gt = _circle_trajectory(n)
+    edge_i, edge_j, Rrels = [], [], []
+    for k in range(n):
+        for d in (1, 2, 3):
+            j = (k + d) % n
+            R, _ = _rel(gt[k], gt[j])
+            edge_i.append(k)
+            edge_j.append(j)
+            Rrels.append(R)
+    # Corrupt 15% of edges with random rotations.
+    bad = rs.choice(len(Rrels), len(Rrels) * 15 // 100, replace=False)
+    for b in bad:
+        w = rs.normal(size=3)
+        Rrels[b] = np.asarray(lie.so3_exp(jnp.asarray(w)))
+    R_est = np.asarray(average_rotations(
+        n, jnp.asarray(edge_i, jnp.int32), jnp.asarray(edge_j, jnp.int32),
+        jnp.asarray(np.stack(Rrels))))
+    G = gt[0][0] @ R_est[0].T
+    errs = [rotation_distance(G @ R_est[k], gt[k][0]) for k in range(n)]
+    assert max(errs) < 0.1, f"max rotation error {max(errs)}"
