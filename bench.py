@@ -38,36 +38,38 @@ def load_pair(h=480, w=640):
     return a, b
 
 
-def bench_ours(a, b, iters=20):
+def bench_ours(a, b, iters=10):
     import jax
     import jax.numpy as jnp
 
     from sara_tpu.features import compute_sift_keypoints, SIFTParams
     from sara_tpu.matching import match_descriptors, MatchParams
 
+    # Per-octave programs are jitted individually (and cached per shape), so
+    # warmup compiles incrementally instead of one monolithic XLA program.
     params = SIFTParams()
+    mp = MatchParams(ratio=0.8)
 
     def two_view(img_a, img_b):
         ka = compute_sift_keypoints(img_a, params)
         kb = compute_sift_keypoints(img_b, params)
-        m = match_descriptors(ka, kb, MatchParams(ratio=0.8))
-        return ka.count(), kb.count(), m.count()
+        m = match_descriptors(ka, kb, mp)
+        return ka, kb, m
 
-    fn = jax.jit(two_view)
     ja, jb = jnp.asarray(a), jnp.asarray(b)
     t0 = time.perf_counter()
-    na, nb, nm = fn(ja, jb)
-    jax.block_until_ready(nm)
+    ka, kb, m = two_view(ja, jb)
+    jax.block_until_ready(m.mask)
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s; "
-        f"kp {int(na)}/{int(nb)}, matches {int(nm)}")
+        f"kp {int(ka.count())}/{int(kb.count())}, matches {int(m.count())}")
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        na, nb, nm = fn(ja, jb)
-    jax.block_until_ready(nm)
+        ka, kb, m = two_view(ja, jb)
+    jax.block_until_ready(m.mask)
     dt = (time.perf_counter() - t0) / iters
     # One iteration = 2 frames detected + described + matched.
-    return 2.0 / dt, int(na), int(nm)
+    return 2.0 / dt, int(ka.count()), int(m.count())
 
 
 def bench_opencv(a, b, iters=5):

@@ -30,6 +30,8 @@ class DoGParams:
     refine_iters: int = 5
     border: int = 1
     capacity: int = 1024  # max keypoints kept per octave
+    edge_test: bool = True  # disable for detectors with built-in edge
+                            # suppression (Harris / DoH)
 
 
 def _stencil_extrema(dog: jnp.ndarray):
@@ -168,9 +170,9 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
     h = jnp.clip(h, -1.5, 1.5)
     value = n[..., 1, 1, 1] + 0.5 * jnp.sum(g * h, axis=-1)
 
-    on_edge = _on_edge(n, params.edge_ratio)
-    valid = (valid & ok_step & ~on_edge
-             & (jnp.abs(value) >= params.extremum_thres))
+    valid = valid & ok_step & (jnp.abs(value) >= params.extremum_thres)
+    if params.edge_test:
+        valid = valid & ~_on_edge(n, params.edge_ratio)
 
     return {
         "x": x1.astype(jnp.float32) + h[..., 2],
