@@ -25,3 +25,24 @@ ops       Pallas TPU kernels for the hot paths
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: on the target TPU runtime every compile
+# costs ~10 s wall-clock (remote compile service), so caching compiled
+# programs across processes/rounds is a first-order performance feature.
+# Opt out with SARA_TPU_NO_CACHE=1; override the location with
+# SARA_TPU_CACHE_DIR.
+import os as _os
+
+if not _os.environ.get("SARA_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "SARA_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -73,7 +73,17 @@ def compute_sift_keypoints(image: jnp.ndarray,
     with positions in input-image pixel coordinates and absolute sigmas,
     keeping the strongest responses across octaves
     (reference rescaling: FeatureDetectors/SIFT.cpp:92-98).
+
+    The whole computation (pyramid + every octave + merge) runs as ONE
+    jitted program per image shape: on the target TPU runtime each compile
+    dispatch costs ~10 s, so minimizing program count (and steady-state
+    dispatch count) dominates the frontend latency budget.
     """
+    return _compute_sift_jit(image, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _compute_sift_jit(image: jnp.ndarray, params: SIFTParams) -> Keypoints:
     gp = gaussian_pyramid(image, params.pyramid)
     dg = dog_pyramid(gp)
 

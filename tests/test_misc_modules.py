@@ -1,0 +1,114 @@
+"""Tests: Deriche IIR blur, NCC matching, dense SIFT, affine adaptation,
+feature/match HDF5 IO, checkpointing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from sara_tpu.core.types import Keypoints, Matches
+from sara_tpu.features.affine import adapt_affine_shapes
+from sara_tpu.features.dense import dense_sift
+from sara_tpu.image.deriche import deriche_blur
+from sara_tpu.image.filtering import gaussian_blur
+from sara_tpu.io import (save_keypoints_h5, load_keypoints_h5,
+                         save_matches_h5, load_matches_h5)
+from sara_tpu.matching.ncc import ncc_match
+
+
+def test_deriche_matches_gaussian(rng):
+    img = jnp.asarray(rng.random((64, 96)).astype(np.float32))
+    a = np.asarray(deriche_blur(img, 4.0))
+    b = np.asarray(gaussian_blur(img, 4.0))
+    # IIR approximation: compare in the interior.
+    diff = np.abs(a - b)[12:-12, 12:-12]
+    assert diff.max() < 0.02, diff.max()
+
+
+def test_deriche_preserves_constant():
+    img = jnp.full((48, 48), 0.7)
+    out = np.asarray(deriche_blur(img, 3.0))
+    np.testing.assert_allclose(out[10:-10, 10:-10], 0.7, atol=1e-3)
+
+
+def test_ncc_match_translated(rng):
+    img = rng.random((64, 96)).astype(np.float32)
+    shifted = np.roll(img, 5, axis=1)
+    xy_a = np.asarray([[20.0, 30], [50, 20], [70, 40]], np.float32)
+    xy_b = xy_a + np.asarray([5.0, 0], np.float32)
+    j, s, ok = ncc_match(jnp.asarray(img), jnp.asarray(xy_a),
+                         jnp.ones(3, bool), jnp.asarray(shifted),
+                         jnp.asarray(xy_b), jnp.ones(3, bool))
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(j), [0, 1, 2])
+    assert np.asarray(s).min() > 0.99
+
+
+def test_dense_sift_shapes():
+    img = jnp.zeros((64, 96))
+    xy, desc = dense_sift(img, step=16)
+    assert xy.shape[0] == desc.shape[0]
+    assert desc.shape[1] == 128
+
+
+def test_affine_adaptation_anisotropic(rng):
+    # Anisotropic Gaussian blob: shape matrix must reflect the elongation.
+    ys, xs = np.mgrid[0:64, 0:64].astype(np.float32)
+    img = np.exp(-(((xs - 32) / 12) ** 2 + ((ys - 32) / 4) ** 2))
+    S, conv = adapt_affine_shapes(jnp.asarray(img),
+                                  jnp.asarray([[32.0, 32.0]]),
+                                  jnp.asarray([4.0]), jnp.ones(1, bool))
+    S = np.asarray(S[0])
+    assert bool(conv[0])
+    # Elongated along x -> larger spatial extent in x -> SMALLER S_xx in the
+    # region quadric x^T S x = 1 (reference OERegion shape_matrix semantics).
+    assert S[0, 0] < 0.5 * S[1, 1]
+
+
+def test_keypoints_h5_roundtrip(tmp_path, rng):
+    kp = Keypoints(
+        xy=jnp.asarray(rng.random((8, 2)), jnp.float32),
+        scale=jnp.ones(8), orientation=jnp.zeros(8),
+        response=jnp.ones(8), descriptors=jnp.asarray(rng.random((8, 128)),
+                                                      jnp.float32),
+        mask=jnp.ones(8, bool))
+    p = str(tmp_path / "kp.h5")
+    save_keypoints_h5(p, kp)
+    kp2 = load_keypoints_h5(p)
+    np.testing.assert_allclose(np.asarray(kp2.xy), np.asarray(kp.xy))
+    np.testing.assert_array_equal(np.asarray(kp2.mask), np.asarray(kp.mask))
+
+
+def test_matches_h5_roundtrip(tmp_path):
+    m = Matches(i=jnp.arange(4, dtype=jnp.int32),
+                j=jnp.arange(4, dtype=jnp.int32)[::-1],
+                score=jnp.ones(4), mask=jnp.asarray([True, False, True, True]))
+    p = str(tmp_path / "m.h5")
+    save_matches_h5(p, m)
+    m2 = load_matches_h5(p)
+    np.testing.assert_array_equal(np.asarray(m2.j), np.asarray(m.j))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_sfm_pipeline import _make_sequence
+
+    from sara_tpu.io import save_sfm_state, load_sfm_state
+    from sara_tpu.sfm import OdometryPipeline, OdometryConfig
+
+    kps, centers, K = _make_sequence(n_frames=4, noise=0.1)
+    cfg = OdometryConfig(rel_pose_samples=100, pnp_samples=100,
+                         rel_pose_min_inliers=30, pnp_min_inliers=15)
+    pipe = OdometryPipeline(K, cfg)
+    for f, kp in enumerate(kps):
+        pipe.process_keypoints(kp, f)
+    path = str(tmp_path / "state.npz")
+    save_sfm_state(path, pipe)
+
+    pipe2 = OdometryPipeline(K, cfg)
+    load_sfm_state(path, pipe2)
+    assert len(pipe2.pose_graph) == len(pipe.pose_graph)
+    assert pipe2.point_cloud.num_points == pipe.point_cloud.num_points
+    np.testing.assert_allclose(pipe2.pose_graph.trajectory(),
+                               pipe.pose_graph.trajectory(), atol=1e-12)
