@@ -1,0 +1,251 @@
+"""Global (unordered) SfM: match pairs -> averaging -> triangulate -> BA.
+
+A capability the reference only reaches incrementally (its OdometryPipeline
+processes video frame by frame); for unordered collections (BASELINE
+configs 4/5) the global pipeline is the scalable TPU-native design:
+
+  1. pairwise matching (one jitted GEMM program, batched over pairs),
+  2. per-pair essential RANSAC (one jitted program, reused across pairs),
+  3. spectral rotation averaging over the epipolar graph
+     (sara_tpu.sfm.rotation_averaging),
+  4. translation averaging: alternating least squares on camera centers
+     from pairwise baseline directions (c_j - c_i = s_ij * u_ij,
+     u_ij = -R_j^T t_ij, s_ij >= smin as the scale gauge),
+  5. track building (native union-find) + batched multi-view DLT
+     triangulation,
+  6. global Schur-complement bundle adjustment (sara_tpu.ba), optionally
+     sharded over a device mesh (sara_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sara_tpu.ba import BAOptions, BAProblem, bundle_adjust
+from sara_tpu.core import lie
+from sara_tpu.core.types import Keypoints
+from sara_tpu.matching import MatchParams, match_descriptors
+from sara_tpu.ransac import estimate_relative_pose
+from sara_tpu.sfm.rotation_averaging import average_rotations
+from sara_tpu.sfm.tracker import FeatureTracker
+
+
+@dataclass(frozen=True)
+class GlobalSfMConfig:
+    match_ratio: float = 0.8
+    rel_pose_samples: int = 500
+    rel_pose_threshold_px: float = 4.0
+    min_pair_inliers: int = 30
+    translation_iters: int = 50
+    min_track_length: int = 2
+    ba_options: BAOptions = field(default_factory=lambda: BAOptions(max_iters=30))
+
+
+def _translation_averaging(n: int, edges: Sequence[Tuple[int, int]],
+                           u_dirs: np.ndarray, iters: int = 50,
+                           s_min: float = 1.0) -> np.ndarray:
+    """Camera centers from pairwise unit baseline directions.
+
+    Solves min_{c, s>=s_min} sum ||c_j - c_i - s_e u_e||^2 with c_0 = 0 by
+    alternating: s_e = clamp(u_e . (c_j - c_i)), then a linear solve for c.
+    """
+    E = len(edges)
+    ei = np.asarray([e[0] for e in edges])
+    ej = np.asarray([e[1] for e in edges])
+
+    # Incidence Laplacian (3n x 3n), built once.
+    L = np.zeros((n, n))
+    for a, b in edges:
+        L[a, a] += 1
+        L[b, b] += 1
+        L[a, b] -= 1
+        L[b, a] -= 1
+    # Gauge: pin camera 0.
+    L[0, :] = 0
+    L[:, 0] = 0
+    L[0, 0] = 1
+
+    c = np.zeros((n, 3))
+    # Initial scales 1.
+    s = np.ones(E)
+    for _ in range(iters):
+        # Solve for c given s: L c = rhs.
+        rhs = np.zeros((n, 3))
+        for e in range(E):
+            v = s[e] * u_dirs[e]
+            rhs[ei[e]] -= v
+            rhs[ej[e]] += v
+        rhs[0] = 0.0
+        c = np.linalg.solve(L, rhs)
+        # Update scales.
+        d = c[ej] - c[ei]
+        s = np.maximum(np.einsum("ed,ed->e", d, u_dirs), s_min)
+    return c
+
+
+def _multiview_triangulate(P_mats: jnp.ndarray, uv: jnp.ndarray,
+                           mask: jnp.ndarray) -> jnp.ndarray:
+    """Batched multi-view DLT.
+
+    P_mats: (T, V, 3, 4) per-track camera matrices (padded), uv: (T, V, 2)
+    pixels, mask: (T, V). Returns (T, 3) points (masked rows contribute
+    zero equations)."""
+
+    def one(P, x, m):
+        r1 = x[:, 0, None] * P[:, 2] - P[:, 0]      # (V, 4)
+        r2 = x[:, 1, None] * P[:, 2] - P[:, 1]
+        A = jnp.concatenate([r1, r2], axis=0)       # (2V, 4)
+        w = jnp.concatenate([m, m], axis=0).astype(A.dtype)
+        A = A * w[:, None]
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        X = Vt[-1]
+        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
+
+    return jax.vmap(one)(P_mats, uv, mask)
+
+
+def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
+                   pairs: Optional[List[Tuple[int, int]]] = None,
+                   config: GlobalSfMConfig = GlobalSfMConfig(),
+                   key=None):
+    """Reconstruct an unordered image collection.
+
+    Args:
+      keypoint_sets: per-image fixed-capacity Keypoints (same capacity).
+      K: shared (3, 3) intrinsics.
+      pairs: image pairs to match (default: all pairs).
+
+    Returns dict with R (V,3,3), t (V,3), points (P,3), tracker, ba_info.
+    """
+    V = len(keypoint_sets)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if pairs is None:
+        pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
+    Kj = jnp.asarray(K)
+
+    # --- Stage 1+2: matching + relative poses over the pair list. ---
+    tracker = FeatureTracker()
+    for v in range(V):
+        kp = keypoint_sets[v]
+        tracker.add_frame(kp.capacity, np.asarray(kp.response))
+
+    edges = []
+    edge_R = []
+    edge_t = []
+    mp = MatchParams(ratio=config.match_ratio)
+    for (a, b) in pairs:
+        ka, kb = keypoint_sets[a], keypoint_sets[b]
+        m = match_descriptors(ka, kb, mp)
+        u = ka.xy
+        v_xy = kb.xy[m.j]
+        key, sub = jax.random.split(key)
+        res, R_rel, t_rel = estimate_relative_pose(
+            sub, u, v_xy, m.mask, Kj, Kj,
+            threshold_px=config.rel_pose_threshold_px,
+            num_samples=config.rel_pose_samples,
+            min_inliers=config.min_pair_inliers)
+        if not bool(res.success):
+            continue
+        inl = np.asarray(res.inliers) & np.asarray(m.mask)
+        edges.append((a, b))
+        edge_R.append(np.asarray(R_rel))
+        edge_t.append(np.asarray(t_rel) / max(np.linalg.norm(np.asarray(t_rel)), 1e-12))
+        tracker.add_matches(a, b, np.asarray(m.i)[inl], np.asarray(m.j)[inl])
+
+    if len(edges) < V - 1:
+        raise RuntimeError(
+            f"epipolar graph too sparse: {len(edges)} edges for {V} views")
+
+    # --- Stage 3: rotation averaging. ---
+    ei = jnp.asarray([e[0] for e in edges], jnp.int32)
+    ej = jnp.asarray([e[1] for e in edges], jnp.int32)
+    R_abs = np.asarray(average_rotations(V, ei, ej,
+                                         jnp.asarray(np.stack(edge_R))))
+
+    # --- Stage 4: translation averaging. ---
+    u_dirs = np.stack([-(R_abs[e[1]].T @ t) for e, t in zip(edges, edge_t)])
+    centers = _translation_averaging(V, edges, u_dirs,
+                                     iters=config.translation_iters)
+    t_abs = np.stack([-R_abs[v] @ centers[v] for v in range(V)])
+
+    # --- Stage 5: tracks + multi-view triangulation. ---
+    tracker.compute_tracks(config.min_track_length)
+    members = tracker.track_members()
+    track_ids = sorted(members.keys())
+    if not track_ids:
+        raise RuntimeError("no feature tracks")
+    max_len = max(len(members[t][0]) for t in track_ids)
+    T = len(track_ids)
+    P_pad = np.zeros((T, max_len, 3, 4))
+    uv_pad = np.zeros((T, max_len, 2))
+    m_pad = np.zeros((T, max_len), bool)
+    P_all = np.einsum("vij,vjk->vik", np.repeat(K[None], V, 0),
+                      np.concatenate([R_abs, t_abs[:, :, None]], axis=2))
+    for ti, tid in enumerate(track_ids):
+        frames, feats = members[tid]
+        for k, (f, ft) in enumerate(zip(frames, feats)):
+            P_pad[ti, k] = P_all[f]
+            uv_pad[ti, k] = np.asarray(keypoint_sets[f].xy)[ft]
+            m_pad[ti, k] = True
+    X = np.asarray(_multiview_triangulate(
+        jnp.asarray(P_pad), jnp.asarray(uv_pad), jnp.asarray(m_pad)))
+
+    # Cheirality / sanity filter.
+    good_pt = np.isfinite(X).all(axis=1) & (np.linalg.norm(X, axis=1) < 1e3)
+    for ti, tid in enumerate(track_ids):
+        frames, _ = members[tid]
+        z = np.einsum("ij,j->i", R_abs[frames[0]], X[ti]) + t_abs[frames[0]]
+        if z[2] <= 0:
+            good_pt[ti] = False
+
+    # --- Stage 6: global BA. ---
+    obs_cam, obs_pt, obs_uv = [], [], []
+    kept = {}
+    for ti, tid in enumerate(track_ids):
+        if not good_pt[ti]:
+            continue
+        kept[ti] = len(kept)
+        frames, feats = members[tid]
+        for f, ft in zip(frames, feats):
+            obs_cam.append(f)
+            obs_pt.append(kept[ti])
+            obs_uv.append(np.asarray(keypoint_sets[f].xy)[ft])
+    Xk = X[good_pt]
+    pose_fixed = np.zeros(V, bool)
+    pose_fixed[0] = True
+    poses6 = np.zeros((V, 6))
+    for v in range(V):
+        poses6[v, :3] = np.asarray(lie.so3_log(jnp.asarray(R_abs[v])))
+        poses6[v, 3:] = t_abs[v]
+    intr = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+    prob = BAProblem(
+        poses=jnp.asarray(poses6),
+        points=jnp.asarray(Xk),
+        intrinsics=jnp.asarray(intr),
+        cam_idx=jnp.asarray(np.asarray(obs_cam, np.int32)),
+        pt_idx=jnp.asarray(np.asarray(obs_pt, np.int32)),
+        uv=jnp.asarray(np.asarray(obs_uv)),
+        obs_mask=jnp.ones(len(obs_cam), bool),
+        pose_fixed=jnp.asarray(pose_fixed),
+        point_fixed=jnp.zeros(len(Xk), bool),
+    )
+    out, info = bundle_adjust(prob, config.ba_options)
+
+    poses_out = np.asarray(out.poses)
+    R_fin = np.stack([np.asarray(lie.so3_exp(jnp.asarray(poses_out[v, :3])))
+                      for v in range(V)])
+    return {
+        "R": R_fin,
+        "t": poses_out[:, 3:],
+        "points": np.asarray(out.points),
+        "tracker": tracker,
+        "num_edges": len(edges),
+        "ba_info": {k: np.asarray(v) for k, v in info.items()},
+    }

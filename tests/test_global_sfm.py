@@ -1,0 +1,27 @@
+"""Global (unordered) SfM pipeline test on a synthetic collection
+(BASELINE config 4 building block)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from geometry_fixtures import rotation_distance
+from sara_tpu.sfm.global_sfm import run_global_sfm, GlobalSfMConfig
+from sara_tpu.utils import ate_rmse
+from test_sfm_pipeline import _make_sequence
+
+
+def test_global_sfm_8_views():
+    kps, centers_gt, K = _make_sequence(n_frames=8, n_points=300, noise=0.3,
+                                        seed=1, capacity=512)
+    cfg = GlobalSfMConfig(rel_pose_samples=200, min_pair_inliers=30,
+                          ba_options=__import__("sara_tpu.ba", fromlist=["BAOptions"]).BAOptions(max_iters=20))
+    out = run_global_sfm(kps, K, config=cfg)
+    assert out["num_edges"] >= 7
+    centers = np.stack([-out["R"][v].T @ out["t"][v] for v in range(8)])
+    err = ate_rmse(centers, centers_gt)
+    assert err < 0.15, f"ATE {err}"
+    assert len(out["points"]) > 100
+    # BA must have reduced cost.
+    assert out["ba_info"]["final_cost"] <= out["ba_info"]["initial_cost"]
