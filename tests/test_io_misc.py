@@ -1,0 +1,91 @@
+"""IO tests: image round trip, video round trip (generated mp4), Strecha
+camera file parsing, im2col GEMM conv, nuScenes table loader."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sara_tpu.image.im2col import im2col, gemm_conv2d
+from sara_tpu.io import imread, imwrite, imread_gray, read_strecha_camera
+from sara_tpu.io.video import VideoStream, VideoWriter
+
+
+def test_image_roundtrip(tmp_path, rng):
+    img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    imwrite(p, img)
+    back = imread(p)
+    np.testing.assert_array_equal(back, img)
+    g = imread_gray(p)
+    assert g.shape == (32, 48) and g.dtype == np.float32
+
+
+def test_video_roundtrip(tmp_path, rng):
+    frames = [(rng.random((64, 96, 3)) * 255).astype(np.uint8)
+              for _ in range(10)]
+    p = str(tmp_path / "v.mp4")
+    w = VideoWriter(p, (64, 96), fps=10)
+    for f in frames:
+        w.write(f)
+    w.close()
+    vs = VideoStream(p)
+    got = list(vs)
+    assert len(got) == 10
+    assert got[0].shape == (64, 96, 3)
+    #
+
+    vs2 = VideoStream(p, num_skips=1)
+    assert len(list(vs2)) == 5
+
+
+def test_strecha_camera(tmp_path):
+    K = np.array([[2759.48, 0, 1520.69], [0, 2764.16, 1006.81], [0, 0, 1]])
+    p = str(tmp_path / "img.camera")
+    with open(p, "w") as f:
+        for row in K:
+            f.write(" ".join(str(v) for v in row) + "\n")
+        f.write("0\n")
+    got = read_strecha_camera(p)
+    np.testing.assert_allclose(got, K)
+
+
+def test_im2col_gemm_conv(rng):
+    img = jnp.asarray(rng.random((16, 20)).astype(np.float32))
+    k = jnp.asarray(rng.random((3, 3)).astype(np.float32))
+    ours = np.asarray(gemm_conv2d(img, k))
+    from scipy.signal import correlate2d
+
+    ref = correlate2d(np.asarray(img), np.asarray(k), mode="valid")
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_nuscenes_loader(tmp_path):
+    from sara_tpu.io.nuscenes import NuScenesTables
+
+    root = tmp_path / "v1.0-mini"
+    os.makedirs(root)
+    tables = {
+        "sensor": [{"token": "s1", "channel": "CAM_FRONT", "modality": "camera"}],
+        "calibrated_sensor": [{"token": "c1", "sensor_token": "s1",
+                               "camera_intrinsic": [[1000, 0, 800],
+                                                    [0, 1000, 450],
+                                                    [0, 0, 1]],
+                               "rotation": [1, 0, 0, 0],
+                               "translation": [0, 0, 0]}],
+        "ego_pose": [{"token": "e1", "rotation": [1, 0, 0, 0],
+                      "translation": [0, 0, 0], "timestamp": 1}],
+        "sample_data": [{"token": "d1", "calibrated_sensor_token": "c1",
+                         "ego_pose_token": "e1", "timestamp": 1,
+                         "filename": "a.jpg"}],
+        "scene": [], "sample": [],
+    }
+    for name, rows in tables.items():
+        with open(root / f"{name}.json", "w") as f:
+            json.dump(rows, f)
+    ns = NuScenesTables(str(tmp_path))
+    frames = ns.camera_frames("CAM_FRONT")
+    assert len(frames) == 1
+    assert frames[0]["camera_intrinsic"][0][0] == 1000
