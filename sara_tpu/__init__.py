@@ -36,13 +36,22 @@ import os as _os
 if not _os.environ.get("SARA_TPU_NO_CACHE"):
     import jax as _jax
 
-    _cache_dir = _os.environ.get(
-        "SARA_TPU_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".jax_cache"))
+    # Only cache for accelerator backends: CPU AOT cache entries embed host
+    # machine features and break when reloaded under different CPU flag
+    # sets (observed with the axon runtime's helper CPU executables).
+    _platforms = None
     try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _platforms = _jax.config.jax_platforms
     except Exception:
         pass
+    if _platforms != "cpu":
+        _cache_dir = _os.environ.get(
+            "SARA_TPU_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".jax_cache"))
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass

@@ -1,0 +1,144 @@
+"""Loop-closure detection + pose-graph correction for the VO pipeline.
+
+New subsystem with no reference counterpart (the reference pipeline never
+closes loops; SURVEY.md §5): candidate retrieval by global descriptor
+similarity, geometric verification through the essential-matrix RANSAC, and
+drift correction via the SE(3) pose-graph optimizer
+(sara_tpu.sfm.pose_graph_opt). Required by BASELINE config 3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sara_tpu.core import lie
+from sara_tpu.matching import MatchParams, match_descriptors
+from sara_tpu.ransac import estimate_relative_pose
+from sara_tpu.sfm.pose_graph_opt import (
+    PoseGraphProblem, optimize_pose_graph, relative_pose_to_packing)
+
+
+@dataclass(frozen=True)
+class LoopClosureConfig:
+    min_gap: int = 15            # frames between candidates and current
+    max_candidates: int = 3
+    min_inliers: int = 60
+    rel_pose_samples: int = 500
+    threshold_px: float = 4.0
+    loop_weight: float = 10.0
+
+
+def global_descriptor(kp) -> np.ndarray:
+    """Cheap retrieval signature: masked mean of L2-normalized descriptors.
+    (Adequate for short loops; a learned/VLAD descriptor can swap in.)"""
+    d = np.asarray(kp.descriptors)
+    m = np.asarray(kp.mask).astype(np.float64)
+    v = (d * m[:, None]).sum(axis=0) / max(m.sum(), 1.0)
+    n = np.linalg.norm(v)
+    return v / max(n, 1e-12)
+
+
+class LoopCloser:
+    """Maintains per-frame retrieval signatures; detects + verifies loops and
+    optimizes the pose graph of an OdometryPipeline in place."""
+
+    def __init__(self, K: np.ndarray,
+                 config: LoopClosureConfig = LoopClosureConfig()):
+        self.K = np.asarray(K, float)
+        self.cfg = config
+        self.signatures: list[np.ndarray] = []
+        self.keypoint_sets: list = []
+        self.loop_edges: list[tuple] = []
+        self._key = jax.random.PRNGKey(42)
+
+    def add_frame(self, kp):
+        self.signatures.append(global_descriptor(kp))
+        self.keypoint_sets.append(kp)
+        return len(self.signatures) - 1
+
+    def detect(self, frame_id: int):
+        """Candidate loop frames for frame_id (older than min_gap)."""
+        hi = frame_id - self.cfg.min_gap
+        if hi <= 0:
+            return []
+        sims = np.asarray([self.signatures[frame_id] @ self.signatures[j]
+                           for j in range(hi)])
+        order = np.argsort(-sims)[: self.cfg.max_candidates]
+        return [int(j) for j in order]
+
+    def verify(self, a: int, b: int):
+        """Geometric verification a -> b. Returns (R, t, n_inliers) or None."""
+        ka, kb = self.keypoint_sets[a], self.keypoint_sets[b]
+        m = match_descriptors(ka, kb, MatchParams(ratio=0.8))
+        self._key, sub = jax.random.split(self._key)
+        res, R, t = estimate_relative_pose(
+            sub, ka.xy, kb.xy[m.j], m.mask,
+            jnp.asarray(self.K), jnp.asarray(self.K),
+            threshold_px=self.cfg.threshold_px,
+            num_samples=self.cfg.rel_pose_samples,
+            min_inliers=self.cfg.min_inliers)
+        if not bool(res.success):
+            return None
+        t = np.asarray(t, float)
+        return (np.asarray(R, float), t / max(np.linalg.norm(t), 1e-12),
+                int(res.num_inliers))
+
+    def close(self, pipeline, frame_id: int) -> bool:
+        """Try to close a loop at frame_id; on success optimize the pose
+        graph in place. Returns True if a loop was applied."""
+        applied = False
+        for cand in self.detect(frame_id):
+            got = self.verify(cand, frame_id)
+            if got is None:
+                continue
+            R, t, n_inl = got
+            self.loop_edges.append((cand, frame_id, R, t))
+            applied = True
+        if not applied:
+            return False
+        self._optimize(pipeline)
+        return True
+
+    def _optimize(self, pipeline):
+        pg = pipeline.pose_graph
+        n = len(pg)
+        packed = pg.poses_se3()
+        edges_i, edges_j, rels, weights = [], [], [], []
+        # Odometry chain edges from the current (drifted) graph, weight 1;
+        # loop edges with their measured relative motion, higher weight.
+        for e in pg.edges:
+            Ri, ti = pg.pose(e.src)
+            Rj, tj = pg.pose(e.dst)
+            R_rel = Rj @ Ri.T
+            t_rel = tj - R_rel @ ti
+            edges_i.append(e.src)
+            edges_j.append(e.dst)
+            rels.append(np.asarray(relative_pose_to_packing(R_rel, t_rel)))
+            weights.append(1.0)
+        for (a, b, R, t) in self.loop_edges:
+            # Scale the unit loop translation with the current graph's
+            # baseline estimate (monocular scale is unobservable from E).
+            ca = pg.poses[a].center()
+            cb = pg.poses[b].center()
+            s = max(np.linalg.norm(cb - ca), 1e-6)
+            edges_i.append(a)
+            edges_j.append(b)
+            rels.append(np.asarray(relative_pose_to_packing(R, s * t)))
+            weights.append(self.cfg.loop_weight)
+
+        prob = PoseGraphProblem(
+            poses=jnp.asarray(packed),
+            edge_i=jnp.asarray(edges_i, jnp.int32),
+            edge_j=jnp.asarray(edges_j, jnp.int32),
+            rel_pose=jnp.asarray(np.stack(rels)),
+            weight=jnp.asarray(weights),
+            edge_mask=jnp.ones(len(edges_i), bool),
+            pose_fixed=jnp.asarray([True] + [False] * (n - 1)),
+        )
+        out, info = optimize_pose_graph(prob, max_iters=25)
+        pg.update_from_se3(np.asarray(out.poses))

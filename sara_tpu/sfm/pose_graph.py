@@ -102,6 +102,9 @@ class CameraPoseGraph:
     def update_from_se3(self, packed: np.ndarray):
         from scipy.spatial.transform import Rotation
 
+        # Copy: packed may be a read-only view of a JAX buffer, which
+        # scipy's Cython internals reject.
+        packed = np.array(packed, dtype=float, copy=True)
         for i, p in enumerate(self.poses):
             if i < len(packed):
                 p.R = Rotation.from_rotvec(packed[i, :3]).as_matrix()
