@@ -1,20 +1,32 @@
 """Benchmark: two-view SIFT frontend (BASELINE config 1) on the TPU.
 
 Measures end-to-end detect+describe+match throughput of sara-tpu on the
-bundled image pair and compares against OpenCV's CPU SIFT + BF matcher run
-on the same machine — the stand-in for the reference's CPU path (the
-reference publishes no numbers, BASELINE.md; its own benchmark scripts
-compare against OpenCV too:
-python/oddkiva/sara/pybind11/benchmark/sift_pysara_impl.py).
+bundled image pair and compares against OpenCV's CPU SIFT + BF matcher on
+the same machine — the stand-in for the reference's CPU path (the reference
+publishes no numbers, BASELINE.md; its own benchmark scripts compare
+against OpenCV too: python/oddkiva/sara/pybind11/benchmark/).
+
+Measurement notes for this TPU runtime (axon, stdio-relay tunnel):
+- every program dispatch pays a large fixed RPC cost, so the benchmark runs
+  a BATCH of image pairs per dispatch (one vmapped program) — the same
+  batching a production frontend uses to hide host latency;
+- ``block_until_ready`` does not reliably wait on this platform, so every
+  timed iteration fetches a scalar result to the host;
+- XLA compiles are ~10-90 s here; a persistent compile cache under
+  .jax_cache/ makes warm runs cheap.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import sys
 import time
 
 import numpy as np
+
+BATCH = 8
+ITERS = 5
 
 
 def log(*a):
@@ -38,38 +50,55 @@ def load_pair(h=480, w=640):
     return a, b
 
 
-def bench_ours(a, b, iters=10):
+def bench_ours(a, b):
     import jax
     import jax.numpy as jnp
 
     from sara_tpu.features import compute_sift_keypoints, SIFTParams
+    from sara_tpu.features.api import _compute_sift_jit
     from sara_tpu.matching import match_descriptors, MatchParams
 
-    # Per-octave programs are jitted individually (and cached per shape), so
-    # warmup compiles incrementally instead of one monolithic XLA program.
     params = SIFTParams()
     mp = MatchParams(ratio=0.8)
 
-    def two_view(img_a, img_b):
-        ka = compute_sift_keypoints(img_a, params)
-        kb = compute_sift_keypoints(img_b, params)
-        m = match_descriptors(ka, kb, mp)
-        return ka, kb, m
-
+    # --- single-pair reference run (keypoint / match counts). ---
     ja, jb = jnp.asarray(a), jnp.asarray(b)
     t0 = time.perf_counter()
-    ka, kb, m = two_view(ja, jb)
-    jax.block_until_ready(m.mask)
-    log(f"compile+first run: {time.perf_counter()-t0:.1f}s; "
-        f"kp {int(ka.count())}/{int(kb.count())}, matches {int(m.count())}")
+    ka = compute_sift_keypoints(ja, params)
+    kb = compute_sift_keypoints(jb, params)
+    m = match_descriptors(ka, kb, mp)
+    n_a, n_b, n_m = int(ka.count()), int(kb.count()), int(m.count())
+    log(f"single pair compile+run: {time.perf_counter()-t0:.1f}s; "
+        f"kp {n_a}/{n_b}, matches {n_m}")
+
+    # --- batched throughput: one program per BATCH pairs. ---
+    @functools.partial(jax.jit, static_argnames=("p", "q"))
+    def batched(imgs_a, imgs_b, p=params, q=mp):
+        def one(ia, ib):
+            xa = _compute_sift_jit(ia, p)
+            xb = _compute_sift_jit(ib, p)
+            mm = match_descriptors(xa, xb, q)
+            return mm.count()
+
+        return jax.vmap(one)(imgs_a, imgs_b)
+
+    rs = np.random.RandomState(0)
+    batch_a = jnp.asarray(np.stack([a + rs.normal(scale=1e-4, size=a.shape)
+                                    .astype(np.float32) for _ in range(BATCH)]))
+    batch_b = jnp.asarray(np.stack([b + rs.normal(scale=1e-4, size=b.shape)
+                                    .astype(np.float32) for _ in range(BATCH)]))
+    t0 = time.perf_counter()
+    counts = np.asarray(batched(batch_a, batch_b))  # device->host sync
+    log(f"batched compile+first: {time.perf_counter()-t0:.1f}s "
+        f"(counts {counts.tolist()})")
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        ka, kb, m = two_view(ja, jb)
-    jax.block_until_ready(m.mask)
-    dt = (time.perf_counter() - t0) / iters
-    # One iteration = 2 frames detected + described + matched.
-    return 2.0 / dt, int(ka.count()), int(m.count())
+    for _ in range(ITERS):
+        counts = np.asarray(batched(batch_a, batch_b))
+    dt = (time.perf_counter() - t0) / ITERS
+    fps = 2.0 * BATCH / dt
+    log(f"sara-tpu batched: {dt*1e3:.0f} ms / {BATCH} pairs -> {fps:.2f} frames/s")
+    return fps, n_a, n_m
 
 
 def bench_opencv(a, b, iters=5):
@@ -99,7 +128,6 @@ def bench_opencv(a, b, iters=5):
 def main():
     a, b = load_pair()
     ours_fps, n_kp, n_m = bench_ours(a, b)
-    log(f"sara-tpu: {ours_fps:.2f} frames/s")
     try:
         cv_fps = bench_opencv(a, b)
     except Exception as e:
