@@ -24,7 +24,7 @@ from sara_tpu.core.types import Keypoints
 from sara_tpu.features.dog import DoGParams, detect_dog_octave
 from sara_tpu.features.orientation import dominant_orientations
 from sara_tpu.features.sift import sift_descriptors
-from sara_tpu.image.differential import gradient_polar
+from sara_tpu.image.differential import gradient
 from sara_tpu.image.pyramid import PyramidParams, gaussian_pyramid, dog_pyramid
 
 
@@ -43,10 +43,10 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
                     sigmas: tuple):
     """One octave: extrema -> orientations -> descriptors. All fixed shapes."""
     det = detect_dog_octave(dog, params.dog)
-    mag, ori = gradient_polar(gauss)
+    gx, gy = gradient(gauss)
 
     theta, tvalid = dominant_orientations(
-        mag, ori, det["x"], det["y"], det["s"], sigmas,
+        gx, gy, det["x"], det["y"], det["s"], sigmas,
         max_peaks=params.max_orientations)
 
     # Replicate each keypoint per valid orientation peak.
@@ -60,7 +60,7 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     mask = rep(det["mask"]) & tvalid.reshape(-1)
     th = theta.reshape(-1)
 
-    desc = sift_descriptors(mag, ori, x, y, s, th, sigmas)
+    desc = sift_descriptors(gx, gy, x, y, s, th, sigmas)
     return {"x": x, "y": y, "s": s, "value": val, "theta": th,
             "desc": desc, "mask": mask}
 
@@ -84,12 +84,21 @@ def compute_sift_keypoints(image: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def _compute_sift_jit(image: jnp.ndarray, params: SIFTParams) -> Keypoints:
+    import dataclasses
+
     gp = gaussian_pyramid(image, params.pyramid)
     dg = dog_pyramid(gp)
 
     chunks = []
     for oct_idx, (gauss, dog) in enumerate(zip(gp.octaves, dg.octaves)):
-        out = _process_octave(gauss, dog, params, gp.sigmas)
+        # Adaptive per-octave capacity (static per shape): small octaves
+        # cannot produce anywhere near the full budget, and every slot costs
+        # orientation + descriptor work downstream.
+        s_, h_, w_ = dog.shape
+        cap = min(params.dog.capacity, max(64, (s_ * h_ * w_) // 512))
+        oct_params = dataclasses.replace(params, dog=dataclasses.replace(
+            params.dog, capacity=cap))
+        out = _process_octave(gauss, dog, oct_params, gp.sigmas)
         scale_factor = gp.octave_scales[oct_idx]
         sig_tab = jnp.asarray(gp.sigmas, jnp.float32)
         # Continuous sigma via log-interpolation of the per-scale table.

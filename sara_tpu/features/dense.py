@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from sara_tpu.features.sift import sift_descriptors
-from sara_tpu.image.differential import gradient_polar
+from sara_tpu.image.differential import gradient
 from sara_tpu.image.filtering import gaussian_blur
 
 
@@ -26,7 +26,7 @@ def dense_sift(image: jnp.ndarray, step: int = 8, sigma: float = 1.6):
     """
     H, W = image.shape
     sm = gaussian_blur(image, sigma)
-    mag, ori = gradient_polar(sm)
+    gx, gy = gradient(sm)
     ys = jnp.arange(step, H - step, step, dtype=jnp.float32)
     xs = jnp.arange(step, W - step, step, dtype=jnp.float32)
     xx, yy = jnp.meshgrid(xs, ys)
@@ -35,5 +35,5 @@ def dense_sift(image: jnp.ndarray, step: int = 8, sigma: float = 1.6):
     n = x.shape[0]
     s = jnp.zeros((n,), jnp.float32)
     theta = jnp.zeros((n,), jnp.float32)
-    desc = sift_descriptors(mag[None], ori[None], x, y, s, theta, (sigma,))
+    desc = sift_descriptors(gx[None], gy[None], x, y, s, theta, (sigma,))
     return jnp.stack([x, y], axis=-1), desc

@@ -68,6 +68,29 @@ def _gather_neighborhood(dog: jnp.ndarray, s, y, x):
     return dog[ss[:, :, None, None], yy[:, None, :, None], xx[:, None, None, :]]
 
 
+def _solve3(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 solve via the adjugate (batched): cheaper on TPU
+    than the pivoted LU path of jnp.linalg.solve for tiny systems."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    gg, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * gg - d * i
+    E = a * i - c * gg
+    F = c * d - a * f
+    G = d * h - e * gg
+    Hh = b * gg - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    x0 = (A * g[..., 0] + B * g[..., 1] + C * g[..., 2]) / det
+    x1 = (D * g[..., 0] + E * g[..., 1] + F * g[..., 2]) / det
+    x2 = (G * g[..., 0] + Hh * g[..., 1] + I * g[..., 2]) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _grad_hess_3d(n: jnp.ndarray):
     """Central-difference gradient (3,) and Hessian (3,3) of a (..., 3,3,3)
     neighborhood, ordered (s, y, x)."""
@@ -127,9 +150,11 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
     center = dog[1:-1]
     mask = mask & (jnp.abs(center) >= 0.8 * params.extremum_thres) & interior
 
+    from sara_tpu.ops.topk import bucketed_top_k
+
     score = jnp.where(mask, jnp.abs(center), -1.0).reshape(-1)
     k_eff = min(K, score.shape[0])
-    vals, idx = jax.lax.top_k(score, k_eff)
+    vals, idx = bucketed_top_k(score, k_eff)
     if k_eff < K:
         vals = jnp.concatenate([vals, jnp.full((K - k_eff,), -1.0, vals.dtype)])
         idx = jnp.concatenate([idx, jnp.zeros((K - k_eff,), idx.dtype)])
@@ -146,7 +171,7 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
         n = _gather_neighborhood(dog, s, y, x)
         g, Hm = _grad_hess_3d(n)
         # Solve H h = -g (3x3); regularize tiny determinants.
-        h = -jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3), g[..., None])[..., 0]
+        h = -_solve3(Hm + 1e-12 * jnp.eye(3), g)
         # If the spatial offset exceeds 0.6, shift the integer position.
         shift_y = jnp.where(jnp.abs(h[..., 1]) > 0.6, jnp.sign(h[..., 1]), 0.0).astype(jnp.int32)
         shift_x = jnp.where(jnp.abs(h[..., 2]) > 0.6, jnp.sign(h[..., 2]), 0.0).astype(jnp.int32)
@@ -163,7 +188,7 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
 
     n = _gather_neighborhood(dog, s1, y1, x1)
     g, Hm = _grad_hess_3d(n)
-    h = -jnp.linalg.solve(Hm + 1e-12 * jnp.eye(3), g[..., None])[..., 0]
+    h = -_solve3(Hm + 1e-12 * jnp.eye(3), g)
     # Clamp the final sub-pixel offset; reject wild steps
     # (reference rejects |h| > 1.5).
     ok_step = jnp.max(jnp.abs(h), axis=-1) <= 1.5

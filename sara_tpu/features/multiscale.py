@@ -120,9 +120,11 @@ def detect_2d_maxima_octave(stack: jnp.ndarray, thres: float, capacity: int,
                                           border:W - border].set(True)
     is_max = is_max & interior[None]
 
+    from sara_tpu.ops.topk import bucketed_top_k
+
     score = jnp.where(is_max, stack, -jnp.inf).reshape(-1)
     k_eff = min(capacity, score.shape[0])
-    vals, idx = jax.lax.top_k(score, k_eff)
+    vals, idx = bucketed_top_k(score, k_eff)
     if k_eff < capacity:
         vals = jnp.concatenate([vals, jnp.full((capacity - k_eff,), -jnp.inf)])
         idx = jnp.concatenate([idx, jnp.zeros((capacity - k_eff,), idx.dtype)])
