@@ -151,3 +151,22 @@ def test_harris_laplace_finds_corners():
     # (displacement ~ sigma); accept the physically-correct 4 px bound.
     for c in corners:
         assert np.min(np.linalg.norm(xy - c, axis=1)) < 4.0
+
+
+def test_slic_superpixels(rng):
+    from sara_tpu.image.slic import slic
+
+    # Two-tone image: superpixels should not straddle the strong edge much.
+    img = np.zeros((64, 64), np.float32)
+    img[:, 32:] = 1.0
+    labels, centers = slic(jnp.asarray(img), grid=16, iters=5)
+    labels = np.asarray(labels)
+    assert labels.shape == (64, 64)
+    # Left and right halves should use disjoint label sets away from the edge.
+    left = set(np.unique(labels[:, :24]))
+    right = set(np.unique(labels[:, 40:]))
+    assert not (left & right)
+    # Labels are spatially coherent: each label's pixels stay in a small box.
+    for l in np.unique(labels):
+        ys, xs = np.nonzero(labels == l)
+        assert np.ptp(ys) <= 48 and np.ptp(xs) <= 48
