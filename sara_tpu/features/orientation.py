@@ -67,23 +67,76 @@ def orientation_histograms(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
       sigmas: per-scale sigmas within the octave (tuple of static floats).
 
     Returns hist: (K, 36).
+
+    The per-scale Gaussian blurs run as ONE depthwise (grouped) convolution
+    over all S*36 channels with per-channel taps — one conv op per direction
+    instead of 12 per octave, which matters both for XLA compile time (~10 s
+    per extra program region on the target runtime) and fusion.
     """
-    S = gx_stack.shape[0]
+    import math
+
+    import numpy as np
+    from jax import lax
+
+    S, H, W = gx_stack.shape
+    dtype = gx_stack.dtype
     s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
-    out = jnp.zeros((x.shape[0], NUM_BINS), gx_stack.dtype)
+
+    dense = jax.vmap(_binned_magnitude)(gx_stack, gy_stack)  # (S, 36, H, W)
+    C = S * NUM_BINS
+    dense = dense.reshape(1, C, H, W)
+
+    # Per-channel tap bank, zero-padded to the widest kernel. Peak weight 1
+    # (the reference accumulates w(r) = exp(-r^2/2s^2), not a density).
+    radii = [max(1, int(math.ceil(3.0 * radius_factor * float(sg))))
+             for sg in sigmas[:S]]
+    R = max(radii)
+    bank = np.zeros((S, 2 * R + 1), np.float32)
     for si in range(S):
-        sigma_w = radius_factor * float(sigmas[si])
-        dense = _binned_magnitude(gx_stack[si], gy_stack[si])
-        # Gaussian blur across the 36 channels; truncate at 3 sigma to match
-        # the reference's hard support cutoff.
-        k = gaussian_kernel_1d(sigma_w, truncate=3.0, dtype=dense.dtype)
-        # Un-normalize: the reference accumulates w(r) = exp(-r^2/2s^2)
-        # (peak weight 1), not a normalized density.
-        k = k / jnp.max(k)
-        blurred = separable_conv2d(dense, k, k)
-        h_si = _bilinear_channels(blurred, y, x)
-        out = jnp.where((s_idx == si)[:, None], h_si, out)
-    return out
+        sw = radius_factor * float(sigmas[si])
+        r = radii[si]
+        xs = np.arange(-r, r + 1, dtype=np.float64)
+        k = np.exp(-(xs * xs) / (2.0 * sw * sw))
+        bank[si, R - r: R + r + 1] = k
+    bank = jnp.asarray(np.repeat(bank, NUM_BINS, axis=0), dtype)  # (C, 2R+1)
+
+    if jax.default_backend() == "tpu":
+        # One grouped conv per direction across all S*36 channels.
+        xpad = jnp.pad(dense, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge")
+        w_row = bank[:, None, None, :]            # (C, 1, 1, 2R+1)
+        blurred = lax.conv_general_dilated(
+            xpad, w_row[..., ::-1], (1, 1), "VALID", feature_group_count=C)
+        w_col = bank[:, None, :, None]            # (C, 1, 2R+1, 1)
+        blurred = lax.conv_general_dilated(
+            blurred, w_col[..., ::-1, :], (1, 1), "VALID",
+            feature_group_count=C)
+        maps = blurred.reshape(S, NUM_BINS, H, W)
+    else:
+        # XLA:CPU executes grouped convs serially per group — use the
+        # per-scale batched path there (identical math, same tap bank).
+        per_scale = []
+        for si in range(S):
+            # Trim each scale's taps to its true support.
+            taps = bank[si * NUM_BINS, R - radii[si]: R + radii[si] + 1]
+            per_scale.append(separable_conv2d(
+                dense[0, si * NUM_BINS:(si + 1) * NUM_BINS], taps, taps))
+        maps = jnp.stack(per_scale, axis=0)       # (S, 36, H, W)
+    maps = jnp.moveaxis(maps, 1, -1)              # (S, H, W, 36)
+
+    def per_kp(si, yk, xk):
+        m = jax.lax.dynamic_index_in_dim(maps, si, axis=0, keepdims=False)
+        xc = jnp.clip(xk, 0.0, W - 1.0)
+        yc = jnp.clip(yk, 0.0, H - 1.0)
+        x0 = jnp.floor(xc).astype(jnp.int32)
+        y0 = jnp.floor(yc).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        fx = xc - x0
+        fy = yc - y0
+        return (m[y0, x0] * (1 - fx) * (1 - fy) + m[y0, x1] * fx * (1 - fy)
+                + m[y1, x0] * (1 - fx) * fy + m[y1, x1] * fx * fy)
+
+    return jax.vmap(per_kp)(s_idx, y, x)
 
 
 def lowe_smooth(hist: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
