@@ -123,20 +123,21 @@ def orientation_histograms(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
         maps = jnp.stack(per_scale, axis=0)       # (S, 36, H, W)
     maps = jnp.moveaxis(maps, 1, -1)              # (S, H, W, 36)
 
-    def per_kp(si, yk, xk):
-        m = jax.lax.dynamic_index_in_dim(maps, si, axis=0, keepdims=False)
-        xc = jnp.clip(xk, 0.0, W - 1.0)
-        yc = jnp.clip(yk, 0.0, H - 1.0)
-        x0 = jnp.floor(xc).astype(jnp.int32)
-        y0 = jnp.floor(yc).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        y1 = jnp.minimum(y0 + 1, H - 1)
-        fx = xc - x0
-        fy = yc - y0
-        return (m[y0, x0] * (1 - fx) * (1 - fy) + m[y0, x1] * fx * (1 - fy)
-                + m[y1, x0] * (1 - fx) * fy + m[y1, x1] * fx * fy)
-
-    return jax.vmap(per_kp)(s_idx, y, x)
+    # Bilinear read of each keypoint's 36-vector with the scale index folded
+    # into one advanced-indexing gather. (A vmapped dynamic_index over the
+    # scale axis materializes a (K, H, W, 36) intermediate — 160 GB.)
+    xc = jnp.clip(x, 0.0, W - 1.0)
+    yc = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (xc - x0)[:, None]
+    fy = (yc - y0)[:, None]
+    return (maps[s_idx, y0, x0] * (1 - fx) * (1 - fy)
+            + maps[s_idx, y0, x1] * fx * (1 - fy)
+            + maps[s_idx, y1, x0] * (1 - fx) * fy
+            + maps[s_idx, y1, x1] * fx * fy)
 
 
 def lowe_smooth(hist: jnp.ndarray, iters: int = 6) -> jnp.ndarray:

@@ -81,25 +81,24 @@ def sift_descriptors(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
     xs = x[:, None, None] + dx  # (K, T, T)
     ys = y[:, None, None] + dy
 
-    # Pack (gx, gy) as trailing channels: one gather per bilinear corner.
+    # Pack (gx, gy) as trailing channels: one gather per bilinear corner,
+    # with the per-keypoint scale index folded directly into the gather
+    # (no vmapped dynamic_index — that can materialize (K, H, W, 2)).
     maps = jnp.stack([gx_stack, gy_stack], axis=-1)  # (S, H, W, 2)
-
-    def per_kp(si, ys_k, xs_k):
-        m = jax.lax.dynamic_index_in_dim(maps, si, axis=0, keepdims=False)
-        inside = (xs_k >= 0) & (xs_k <= W - 1) & (ys_k >= 0) & (ys_k <= H - 1)
-        xc = jnp.clip(xs_k, 0.0, W - 1.0)
-        yc = jnp.clip(ys_k, 0.0, H - 1.0)
-        x0 = jnp.floor(xc).astype(jnp.int32)
-        y0 = jnp.floor(yc).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        y1 = jnp.minimum(y0 + 1, H - 1)
-        fx = (xc - x0)[..., None]
-        fy = (yc - y0)[..., None]
-        g = (m[y0, x0] * (1 - fx) * (1 - fy) + m[y0, x1] * fx * (1 - fy)
-             + m[y1, x0] * (1 - fx) * fy + m[y1, x1] * fx * fy)  # (T, T, 2)
-        return g, inside
-
-    g, inside = jax.vmap(per_kp)(s_idx, ys, xs)  # (K, T, T, 2), (K, T, T)
+    si3 = s_idx[:, None, None]
+    inside = (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
+    xc = jnp.clip(xs, 0.0, W - 1.0)
+    yc = jnp.clip(ys, 0.0, H - 1.0)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (xc - x0)[..., None]
+    fy = (yc - y0)[..., None]
+    g = (maps[si3, y0, x0] * (1 - fx) * (1 - fy)
+         + maps[si3, y0, x1] * fx * (1 - fy)
+         + maps[si3, y1, x0] * (1 - fx) * fy
+         + maps[si3, y1, x1] * fx * fy)            # (K, T, T, 2)
     gxs = g[..., 0]
     gys = g[..., 1]
     m = jnp.sqrt(gxs * gxs + gys * gys)
