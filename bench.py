@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-BATCH = 4
+BATCH = 8
 ITERS = 5
 
 

@@ -1,0 +1,101 @@
+"""Bundle-adjustment scale benchmark (BASELINE config 4 flavor).
+
+Measures LM iterations/s of the Schur-complement bundle adjuster on
+synthetic problems of increasing size (cameras/points/observations) on the
+available device. Honest timing: fetches the final cost per measurement
+(this platform's block_until_ready is unreliable — NOTES.md).
+
+Usage: python scripts/bench_ba.py [--cpu] [--sizes small,medium,large]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SIZES = {
+    "small": dict(C=16, P=2_000, O=16_000),
+    "medium": dict(C=64, P=20_000, O=160_000),
+    "large": dict(C=256, P=100_000, O=800_000),
+    "xl": dict(C=512, P=300_000, O=2_400_000),
+}
+
+
+def make_problem(C, P, O, seed=0):
+    import jax.numpy as jnp
+
+    from sara_tpu.ba import BAProblem
+
+    rs = np.random.RandomState(seed)
+    X = rs.uniform(-10, 10, (P, 3)) + np.array([0, 0, 30.0])
+    intr = np.array([800.0, 800.0, 512.0, 384.0])
+    poses = np.zeros((C, 6))
+    poses[:, 3] = np.linspace(0, 10.0, C)
+    poses[:, :3] = rs.normal(scale=0.01, size=(C, 3))
+    cam_idx = rs.randint(0, C, O).astype(np.int32)
+    pt_idx = rs.randint(0, P, O).astype(np.int32)
+
+    from scipy.spatial.transform import Rotation
+
+    Rm = Rotation.from_rotvec(poses[:, :3]).as_matrix()
+    Xc = np.einsum("oij,oj->oi", Rm[cam_idx], X[pt_idx]) + poses[cam_idx, 3:]
+    z = np.clip(Xc[:, 2], 1.0, None)
+    uv = np.stack([intr[0] * Xc[:, 0] / z + intr[2],
+                   intr[1] * Xc[:, 1] / z + intr[3]], axis=1)
+    uv += rs.normal(scale=0.5, size=uv.shape)
+    pose_fixed = np.zeros(C, bool)
+    pose_fixed[0] = True
+    return BAProblem(
+        poses=jnp.asarray(poses + np.concatenate(
+            [np.zeros((1, 6)), rs.normal(scale=2e-3, size=(C - 1, 6))])),
+        points=jnp.asarray(X + rs.normal(scale=5e-2, size=X.shape)),
+        intrinsics=jnp.asarray(intr),
+        cam_idx=jnp.asarray(cam_idx),
+        pt_idx=jnp.asarray(pt_idx),
+        uv=jnp.asarray(uv),
+        obs_mask=jnp.ones(O, bool),
+        pose_fixed=jnp.asarray(pose_fixed),
+        point_fixed=jnp.zeros(P, bool),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sizes", default="small,medium")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cg", type=int, default=15)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sara_tpu.ba import BAOptions, bundle_adjust
+
+    for name in args.sizes.split(","):
+        cfg = SIZES[name]
+        prob = make_problem(**cfg)
+        opts = BAOptions(max_iters=args.iters, cg_iters=args.cg)
+        t0 = time.perf_counter()
+        out, info = bundle_adjust(prob, opts)
+        c = float(info["final_cost"])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out, info = bundle_adjust(prob, opts)
+        c = float(info["final_cost"])
+        run_s = time.perf_counter() - t0
+        ips = args.iters / run_s
+        print(f"{name}: C={cfg['C']} P={cfg['P']} O={cfg['O']}  "
+              f"compile+1st={compile_s:.1f}s  run={run_s*1e3:.0f}ms  "
+              f"{ips:.1f} LM iters/s  cost {float(info['initial_cost']):.1f}"
+              f"->{c:.1f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
