@@ -112,3 +112,21 @@ def test_checkpoint_roundtrip(tmp_path):
     assert pipe2.point_cloud.num_points == pipe.point_cloud.num_points
     np.testing.assert_allclose(pipe2.pose_graph.trajectory(),
                                pipe.pose_graph.trajectory(), atol=1e-12)
+
+
+def test_admm_lasso(rng):
+    import jax.numpy as jnp
+
+    from sara_tpu.utils.admm import lasso
+
+    # Sparse ground truth recovered by l1 regularization.
+    A = rng.normal(size=(60, 20)).astype(np.float64)
+    x_true = np.zeros(20)
+    x_true[[2, 7, 13]] = [1.5, -2.0, 0.8]
+    b = A @ x_true + rng.normal(scale=0.01, size=60)
+    x = np.asarray(lasso(jnp.asarray(A), jnp.asarray(b), lam=0.5))
+    # Support recovery + approximate values.
+    assert abs(x[2] - 1.5) < 0.2
+    assert abs(x[7] + 2.0) < 0.2
+    big = set(np.nonzero(np.abs(x) > 0.3)[0].tolist())
+    assert big == {2, 7, 13}
