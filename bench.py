@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = 4
 ITERS = 5
 
 
