@@ -157,6 +157,98 @@ def _refine(intr0, poses0, obj_xyz, img_xy, iters: int = 30,
     return intr, poses, rms
 
 
+def _project_omni(intr, pose6, Xw):
+    """Unified-mirror projection [fx fy cx cy k1 k2 xi] for omnidirectional
+    calibration (reference: cpp/tools/Calibration/
+    calibrate_omnidirectional_cameras.cpp; model per v2/OmnidirectionalCamera)."""
+    R = lie.so3_exp(pose6[:3])
+    Xc = R @ Xw + pose6[3:]
+    Xs = Xc / jnp.linalg.norm(Xc)
+    denom = Xs[2] + intr[6]
+    x = Xs[0] / denom
+    y = Xs[1] / denom
+    r2 = x * x + y * y
+    radial = 1.0 + intr[4] * r2 + intr[5] * r2 * r2
+    return jnp.stack([intr[0] * x * radial + intr[2],
+                      intr[1] * y * radial + intr[3]])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _refine_omni(intr0, poses0, obj_xyz, img_xy, iters: int = 40):
+    """Joint LM over omnidirectional intrinsics [fx fy cx cy k1 k2 xi] and
+    view poses."""
+    V, N, _ = obj_xyz.shape
+
+    def unpack(theta):
+        return theta[:7], theta[7:].reshape(V, 6)
+
+    def residuals(theta):
+        intr, poses = unpack(theta)
+
+        def view(p6, Xs, uvs):
+            pred = jax.vmap(lambda X: _project_omni(intr, p6, X))(Xs)
+            return (pred - uvs).reshape(-1)
+
+        return jax.vmap(view)(poses, obj_xyz, img_xy).reshape(-1)
+
+    theta0 = jnp.concatenate([intr0, poses0.reshape(-1)])
+    n_par = theta0.shape[0]
+
+    def step(carry, _):
+        theta, lam, cost = carry
+        r = residuals(theta)
+        J = jax.jacfwd(residuals)(theta)
+        H = J.T @ J
+        g = -J.T @ r
+        dtheta = jnp.linalg.solve(
+            H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(n_par), g)
+        cand = theta + dtheta
+        new_cost = jnp.sum(residuals(cand) ** 2)
+        accept = new_cost < cost
+        theta2 = jnp.where(accept, cand, theta)
+        lam2 = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-10),
+                         jnp.minimum(lam * 4.0, 1e8))
+        return (theta2, lam2, jnp.where(accept, new_cost, cost)), None
+
+    cost0 = jnp.sum(residuals(theta0) ** 2)
+    (theta, _, cost), _ = jax.lax.scan(
+        step, (theta0, jnp.asarray(1e-3, theta0.dtype), cost0),
+        None, length=iters)
+    intr, poses = unpack(theta)
+    return intr, poses, jnp.sqrt(cost / (V * N))
+
+
+def calibrate_omnidirectional(obj_points: np.ndarray, img_points: np.ndarray,
+                              iters: int = 60,
+                              xi0_candidates=(0.2, 0.5, 0.8, 1.1)):
+    """Omnidirectional (unified mirror) calibration: pinhole Zhang init +
+    joint LM over [fx fy cx cy k1 k2 xi] and poses, multi-started over the
+    mirror parameter (the (f, xi) pair has local minima; note that narrow-FOV
+    targets leave xi unobservable — use boards that span wide view angles)."""
+    K0, Hs = zhang_init_intrinsics(obj_points, img_points)
+    poses0 = []
+    for v in range(len(obj_points)):
+        R, t = homography_pose(K0, Hs[v])
+        w = np.asarray(lie.so3_log(jnp.asarray(R)))
+        poses0.append(np.concatenate([w, t]))
+    obj_xyz = np.concatenate([obj_points,
+                              np.zeros_like(obj_points[..., :1])], axis=-1)
+    best = None
+    for xi0 in xi0_candidates:
+        # The mirror parameter rescales the apparent focal ~ (1 + xi).
+        intr0 = jnp.asarray([K0[0, 0] * (1 + xi0), K0[1, 1] * (1 + xi0),
+                             K0[0, 2], K0[1, 2], 0.0, 0.0, xi0])
+        intr, poses, rms = _refine_omni(intr0, jnp.asarray(np.stack(poses0)),
+                                        jnp.asarray(obj_xyz),
+                                        jnp.asarray(img_points), iters=iters)
+        if best is None or float(rms) < best[2]:
+            best = (np.asarray(intr), np.asarray(poses), float(rms))
+    intr, poses, rms = best
+    K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]], [0, 0, 1.0]])
+    return {"K": K, "dist": intr[4:6], "xi": float(intr[6]),
+            "poses": poses, "rms": rms}
+
+
 def calibrate_pinhole(obj_points: np.ndarray, img_points: np.ndarray,
                       iters: int = 30, fix_distortion: bool = False):
     """Full calibration: Zhang init + joint LM refinement.

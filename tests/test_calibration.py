@@ -114,3 +114,36 @@ def test_homography_pose():
     R, t = homography_pose(K_GT, Hmat)
     assert rotation_distance(R, R_gt) < 1e-8
     np.testing.assert_allclose(t, t_gt, atol=1e-8)
+
+
+def test_omnidirectional_calibration():
+    """Render views through the unified mirror model; recover xi and K."""
+    import jax.numpy as jnp
+
+    from sara_tpu.calib import calibrate_omnidirectional
+    from sara_tpu.calib.calibrate import _project_omni
+    from sara_tpu.core import lie
+
+    xi_gt = 0.6
+    intr_gt = jnp.asarray([480.0, 480.0, 160.0, 120.0, 0.0, 0.0, xi_gt])
+    # Wide-FOV geometry: a close, large board — xi is unobservable from
+    # narrow view cones (f compensates it exactly).
+    views = [(-0.4, 0.3), (0.35, -0.25), (0.15, 0.45), (-0.25, -0.4),
+             (0.45, 0.2)]
+    objs, imgs = [], []
+    jj, ii = np.meshgrid(np.arange(1, 10), np.arange(1, 8))
+    obj = np.stack([jj, ii], axis=-1).reshape(-1, 2).astype(float) * 1.5
+    for yaw, pitch in views:
+        R, t = _view_pose(yaw, pitch, -7.0, -5.0, 5.0)
+        w = np.asarray(lie.so3_log(jnp.asarray(R)))
+        p6 = jnp.asarray(np.concatenate([w, t]))
+        pix = np.stack([
+            np.asarray(_project_omni(intr_gt, p6,
+                                     jnp.asarray([X, Y, 0.0])))
+            for X, Y in obj])
+        objs.append(obj)
+        imgs.append(pix)
+    out = calibrate_omnidirectional(np.stack(objs), np.stack(imgs))
+    assert out["rms"] < 0.1, out["rms"]
+    assert abs(out["xi"] - xi_gt) < 0.1, out["xi"]
+    assert abs(out["K"][0, 0] - 480.0) < 25.0
