@@ -20,6 +20,7 @@ import math
 from dataclasses import dataclass
 from typing import List, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from sara_tpu.image.filtering import gaussian_blur
@@ -100,21 +101,64 @@ def gaussian_pyramid(image: jnp.ndarray, params: PyramidParams = PyramidParams()
     octaves = []
     scales = []
     base = x
+    use_grouped = jax.default_backend() == "tpu"
     for o in range(n_oct):
-        levels = [base]
-        for s in range(1, G):
-            # sigma_incr so that sigma_{s-1} (+) sigma_incr = sigma_s.
-            sig_prev = sigma0 * (k ** (s - 1))
-            sig_incr = sig_prev * math.sqrt(k * k - 1.0)
-            levels.append(gaussian_blur(levels[-1], sig_incr))
-        stack = jnp.stack(levels, axis=0)
+        if use_grouped:
+            stack = _octave_from_base_grouped(base, sigma0, k, G)
+        else:
+            levels = [base]
+            for s in range(1, G):
+                # sigma_incr so that sigma_{s-1} (+) sigma_incr = sigma_s.
+                sig_prev = sigma0 * (k ** (s - 1))
+                sig_incr = sig_prev * math.sqrt(k * k - 1.0)
+                levels.append(gaussian_blur(levels[-1], sig_incr))
+            stack = jnp.stack(levels, axis=0)
         octaves.append(stack)
         scales.append(2.0 ** (o + p.first_octave))
         # Seed next octave: scale index S has sigma = 2 * sigma0.
-        base = downscale2(levels[S])
+        base = downscale2(stack[S])
         if min(base.shape) < 2 * p.border:
             break
     return GaussianPyramid(octaves, tuple(scales[: len(octaves)]), sigmas)
+
+
+def _octave_from_base_grouped(base: jnp.ndarray, sigma0: float, k: float,
+                              G: int) -> jnp.ndarray:
+    """All octave scales directly from the base scale with ONE grouped
+    (depthwise) conv pair.
+
+    The incremental cascade (scale s from s-1) launches 2*(G-1) dependent
+    convs per octave; on the target TPU runtime per-conv overhead made the
+    pyramid the largest piece of the detect stage. Blurring each scale
+    directly from scale 0 with sigma_direct = sqrt(sigma_s^2 - sigma_0^2) is
+    the same Gaussian (semigroup property), and all G-1 scales become
+    independent channels of one grouped conv per direction.
+    """
+    import numpy as np
+    from jax import lax
+
+    H, W = base.shape
+    C = G - 1
+    sig_direct = [math.sqrt(max((sigma0 * k ** s) ** 2 - sigma0 ** 2, 1e-8))
+                  for s in range(1, G)]
+    radii = [max(1, int(math.ceil(4.0 * sd))) for sd in sig_direct]
+    R = max(radii)
+    bank = np.zeros((C, 2 * R + 1), np.float32)
+    for i, (sd, r) in enumerate(zip(sig_direct, radii)):
+        xs = np.arange(-r, r + 1, dtype=np.float64)
+        kk = np.exp(-(xs * xs) / (2.0 * sd * sd))
+        bank[i, R - r: R + r + 1] = kk / kk.sum()
+    bankj = jnp.asarray(bank, base.dtype)
+
+    xpad = jnp.pad(base, ((R, R), (R, R)), mode="edge")
+    xin = jnp.broadcast_to(xpad[None, None], (1, C) + xpad.shape)
+    w_row = bankj[:, None, None, :]
+    y = lax.conv_general_dilated(xin, w_row[..., ::-1], (1, 1), "VALID",
+                                 feature_group_count=C)
+    w_col = bankj[:, None, :, None]
+    y = lax.conv_general_dilated(y, w_col[..., ::-1, :], (1, 1), "VALID",
+                                 feature_group_count=C)
+    return jnp.concatenate([base[None], y[0]], axis=0)
 
 
 def dog_pyramid(gp: GaussianPyramid) -> GaussianPyramid:
