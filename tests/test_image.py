@@ -123,3 +123,27 @@ def test_harris_corner_response():
     c = np.asarray(harris_cornerness(jnp.asarray(img), 0.8, 2.4))
     # Corner pixels should beat edge midpoints.
     assert c[24, 24] > c[24, 32]
+
+
+def test_pyramid_grouped_matches_cascade(rng):
+    """The TPU grouped direct-sigma octave must match the CPU cascade to
+    discretization tolerance (same Gaussians by the semigroup property)."""
+    from sara_tpu.image.pyramid import _octave_from_base_grouped
+    from sara_tpu.image.filtering import gaussian_blur
+
+    base = jnp.asarray(gaussian_blur(
+        jnp.asarray(rng.random((64, 64)).astype(np.float32)), 1.6))
+    sigma0, k, G = 1.6, 2.0 ** (1.0 / 3.0), 6
+    grouped = np.asarray(_octave_from_base_grouped(base, sigma0, k, G))
+    # Cascade reference.
+    import math
+    levels = [np.asarray(base)]
+    cur = base
+    for s in range(1, G):
+        sig_prev = sigma0 * (k ** (s - 1))
+        cur = gaussian_blur(cur, sig_prev * math.sqrt(k * k - 1.0))
+        levels.append(np.asarray(cur))
+    cascade = np.stack(levels)
+    # Interior comparison (border handling differs slightly).
+    d = np.abs(grouped - cascade)[:, 16:-16, 16:-16]
+    assert d.max() < 5e-3, d.max()
