@@ -51,7 +51,8 @@ def _gaussian_window(dtype=jnp.float32) -> jnp.ndarray:
 
 
 def sift_descriptors(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
-                     x, y, s, theta, sigmas) -> jnp.ndarray:
+                     x, y, s, theta, sigmas,
+                     bilinear: bool = True) -> jnp.ndarray:
     """Compute 128-D SIFT descriptors for K keypoints in one octave.
 
     Args:
@@ -89,16 +90,23 @@ def sift_descriptors(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
     inside = (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1)
     xc = jnp.clip(xs, 0.0, W - 1.0)
     yc = jnp.clip(ys, 0.0, H - 1.0)
-    x0 = jnp.floor(xc).astype(jnp.int32)
-    y0 = jnp.floor(yc).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    fx = (xc - x0)[..., None]
-    fy = (yc - y0)[..., None]
-    g = (maps[si3, y0, x0] * (1 - fx) * (1 - fy)
-         + maps[si3, y0, x1] * fx * (1 - fy)
-         + maps[si3, y1, x0] * (1 - fx) * fy
-         + maps[si3, y1, x1] * fx * fy)            # (K, T, T, 2)
+    if bilinear:
+        x0 = jnp.floor(xc).astype(jnp.int32)
+        y0 = jnp.floor(yc).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, W - 1)
+        y1 = jnp.minimum(y0 + 1, H - 1)
+        fx = (xc - x0)[..., None]
+        fy = (yc - y0)[..., None]
+        g = (maps[si3, y0, x0] * (1 - fx) * (1 - fy)
+             + maps[si3, y0, x1] * fx * (1 - fy)
+             + maps[si3, y1, x0] * (1 - fx) * fy
+             + maps[si3, y1, x1] * fx * fy)        # (K, T, T, 2)
+    else:
+        # Nearest sampling: 4x fewer gathers; the 16x16 grid oversamples the
+        # 4x4 spatial bins enough that descriptor quality barely changes.
+        xn = jnp.round(xc).astype(jnp.int32)
+        yn = jnp.round(yc).astype(jnp.int32)
+        g = maps[si3, yn, xn]                      # (K, T, T, 2)
     gxs = g[..., 0]
     gys = g[..., 1]
     m = jnp.sqrt(gxs * gxs + gys * gys)

@@ -89,3 +89,15 @@ def test_nuscenes_loader(tmp_path):
     frames = ns.camera_frames("CAM_FRONT")
     assert len(frames) == 1
     assert frames[0]["camera_intrinsic"][0][0] == 1000
+
+
+def test_html_viewer(tmp_path, rng):
+    from sara_tpu.viz.html_viewer import write_html_viewer
+
+    pts = rng.normal(size=(100, 3))
+    traj = np.cumsum(rng.normal(size=(10, 3)) * 0.1, axis=0)
+    p = write_html_viewer(str(tmp_path / "cloud.html"), pts,
+                          colors=rng.random((100, 3)), trajectory=traj)
+    html = open(p).read()
+    assert "PTS" in html and html.count("#") > 50
+    assert "TRAJ" in html
