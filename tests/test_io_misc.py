@@ -101,3 +101,22 @@ def test_html_viewer(tmp_path, rng):
     html = open(p).read()
     assert "PTS" in html and html.count("#") > 50
     assert "TRAJ" in html
+
+
+def test_pipeline_config_json_roundtrip():
+    from sara_tpu.config import PipelineConfig, CameraConfig
+    from sara_tpu.image.pyramid import PyramidParams
+
+    cfg = PipelineConfig(
+        camera=CameraConfig(fx=512.0, k1=-0.1),
+        pyramid=PyramidParams(first_octave=-1),
+        match_ratio=0.7)
+    text = cfg.to_json()
+    back = PipelineConfig.from_json(text)
+    assert back.camera.fx == 512.0
+    assert back.camera.k1 == -0.1
+    assert back.pyramid.first_octave == -1
+    assert back.match_ratio == 0.7
+    assert back.camera.has_distortion()
+    sp = back.sift_params()
+    assert sp.pyramid.first_octave == -1
