@@ -19,9 +19,12 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -78,10 +81,15 @@ def main(argv=None):
     for name, gray in iter_frames(args):
         if len(views) >= args.max_views:
             break
-        corners, ok = detect_chessboard_corners(
-            gray, expected_size=(rows, cols))
-        if not ok:
-            log(f"[skip] {name}: no ({rows}x{cols}) grid")
+        corners, _ok = detect_chessboard_corners(gray)
+        shape = None if corners is None else np.asarray(corners).shape[:2]
+        if shape == (cols, rows) and rows != cols:
+            # 90 deg-rotated detection of the same physical board: reorder to
+            # the (rows, cols) model (square squares -> intrinsics unchanged).
+            corners = np.asarray(corners).transpose(1, 0, 2)
+            shape = (rows, cols)
+        if shape != (rows, cols):
+            log(f"[skip] {name}: no ({rows}x{cols}) grid (got {shape})")
             continue
         views.append(np.asarray(corners).reshape(-1, 2))
         log(f"[view {len(views)}] {name}")

@@ -13,12 +13,13 @@ costs a fresh ~10-90 s compile; warm cache makes re-runs cheap.
 
 import dataclasses
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
