@@ -162,12 +162,23 @@ def _corner_candidates(image: jnp.ndarray, params: ChessboardParams):
     prof = (sm[y0, x0] * (1 - fx) * (1 - fy) + sm[y0, x1] * fx * (1 - fy)
             + sm[y1, x0] * (1 - fx) * fy + sm[y1, x1] * fx * fy)  # (K, S)
     prof = prof - jnp.mean(prof, axis=1, keepdims=True)
-    sgn = jnp.sign(prof)
-    changes = jnp.sum((sgn * jnp.roll(sgn, 1, axis=1) < 0).astype(jnp.int32),
-                      axis=1)
+    # X-corner test via circular harmonics: a quadrant (dark/light x 2)
+    # pattern concentrates its energy in the 2nd harmonic, an edge in the
+    # 1st, a blob in none. This replaces sign-change counting, which is
+    # fragile when samples land exactly on a transition (symmetric boards).
+    harm = jnp.arange(1, 5, dtype=jnp.float32)          # harmonics 1..4
+    ph = ang[None, :] * harm[:, None]                    # (4, S)
+    cosb, sinb = jnp.cos(ph), jnp.sin(ph)
+    cr = prof @ cosb.T                                   # (K, 4)
+    ci = prof @ sinb.T
+    energy = cr * cr + ci * ci                           # (K, 4)
+    e_tot = jnp.sum(prof * prof, axis=1) * (S / 2.0) + 1e-12
+    e2 = energy[:, 1]
+    dominant = ((e2 > energy[:, 0]) & (e2 > energy[:, 2])
+                & (e2 > energy[:, 3]) & (e2 > 0.35 * e_tot))
     # Balanced dark/light occupancy.
     frac_pos = jnp.mean((prof > 0).astype(jnp.float32), axis=1)
-    is_xcorner = (changes == 4) & (frac_pos > 0.25) & (frac_pos < 0.75)
+    is_xcorner = dominant & (frac_pos > 0.25) & (frac_pos < 0.75)
 
     return {"x": x, "y": y, "score": vals,
             "mask": valid & is_xcorner}

@@ -41,6 +41,11 @@ class SIFTParams:
                                        # grid oversamples the 4x4 bins so
                                        # match quality is unchanged (e2e
                                        # warp tests pass either way)
+    low_precision: bool = True  # bfloat16 storage for the orientation's
+                                # dense binned maps and the descriptor's
+                                # gathered gradient maps on TPU (the two
+                                # HBM-traffic-dominated stages); detection
+                                # and all normalization stay float32
 
 
 @functools.partial(jax.jit, static_argnames=("params", "sigmas"))
@@ -48,11 +53,17 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
                     sigmas: tuple):
     """One octave: extrema -> orientations -> descriptors. All fixed shapes."""
     det = detect_dog_octave(dog, params.dog)
-    gx, gy = gradient(gauss)
+    # The top Gaussian only feeds the last DoG level (detection stencil);
+    # refined scale indices round to at most G-2, so gradients/orientation/
+    # descriptor never sample it — drop it from those stages.
+    gx, gy = gradient(gauss[:-1])
+    cdt = (jnp.bfloat16 if params.low_precision
+           and jax.default_backend() == "tpu" else None)
 
     theta, tvalid = dominant_orientations(
-        gx, gy, det["x"], det["y"], det["s"], sigmas,
-        max_peaks=params.max_orientations)
+        gx, gy, det["x"], det["y"], det["s"], sigmas[:-1],
+        max_peaks=params.max_orientations, compute_dtype=cdt,
+        downsample=2 if cdt is not None else 1)
 
     # Replicate each keypoint per valid orientation peak.
     K = det["x"].shape[0]
@@ -65,8 +76,18 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     mask = rep(det["mask"]) & tvalid.reshape(-1)
     th = theta.reshape(-1)
 
-    desc = sift_descriptors(gx, gy, x, y, s, th, sigmas,
-                            bilinear=params.descriptor_bilinear)
+    # Compact valid slots to the front before describing: only ~15% of
+    # keypoints carry a second orientation peak, so describing all K*P
+    # replica slots wastes most of the stage's gather work. Budget
+    # K + K//4 slots (second orientations beyond that, which are rare,
+    # are dropped — weakest-index last).
+    K2 = K + K // 4
+    order = jnp.argsort((~mask).astype(jnp.int32), stable=True)[:K2]
+    x, y, s, val, th, mask = (a[order] for a in (x, y, s, val, th, mask))
+
+    desc = sift_descriptors(gx, gy, x, y, s, th, sigmas[:-1],
+                            bilinear=params.descriptor_bilinear,
+                            compute_dtype=cdt)
     return {"x": x, "y": y, "s": s, "value": val, "theta": th,
             "desc": desc, "mask": mask}
 

@@ -52,7 +52,7 @@ def _gaussian_window(dtype=jnp.float32) -> jnp.ndarray:
 
 def sift_descriptors(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
                      x, y, s, theta, sigmas,
-                     bilinear: bool = True) -> jnp.ndarray:
+                     bilinear: bool = True, compute_dtype=None) -> jnp.ndarray:
     """Compute 128-D SIFT descriptors for K keypoints in one octave.
 
     Args:
@@ -62,11 +62,17 @@ def sift_descriptors(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
       s: (K,) continuous scale index.
       theta: (K,) keypoint orientation (radians).
       sigmas: per-scale sigmas (tuple of floats).
+      compute_dtype: storage dtype of the gathered gradient maps (bfloat16
+        halves the gather traffic — the stage's dominant cost on TPU;
+        magnitudes/angles and the binning einsum stay float32).
 
     Returns:
       descriptors: (K, 128) float32, L2-normalized with 0.2 clamping.
     """
     S, H, W = gx_stack.shape
+    if compute_dtype is not None:
+        gx_stack = gx_stack.astype(compute_dtype)
+        gy_stack = gy_stack.astype(compute_dtype)
     s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
     sig_table = jnp.asarray(sigmas, jnp.float32)
     sigma = sig_table[s_idx]
@@ -97,16 +103,16 @@ def sift_descriptors(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
         y1 = jnp.minimum(y0 + 1, H - 1)
         fx = (xc - x0)[..., None]
         fy = (yc - y0)[..., None]
-        g = (maps[si3, y0, x0] * (1 - fx) * (1 - fy)
-             + maps[si3, y0, x1] * fx * (1 - fy)
-             + maps[si3, y1, x0] * (1 - fx) * fy
-             + maps[si3, y1, x1] * fx * fy)        # (K, T, T, 2)
+        g = (maps[si3, y0, x0].astype(jnp.float32) * (1 - fx) * (1 - fy)
+             + maps[si3, y0, x1].astype(jnp.float32) * fx * (1 - fy)
+             + maps[si3, y1, x0].astype(jnp.float32) * (1 - fx) * fy
+             + maps[si3, y1, x1].astype(jnp.float32) * fx * fy)  # (K, T, T, 2)
     else:
         # Nearest sampling: 4x fewer gathers; the 16x16 grid oversamples the
         # 4x4 spatial bins enough that descriptor quality barely changes.
         xn = jnp.round(xc).astype(jnp.int32)
         yn = jnp.round(yc).astype(jnp.int32)
-        g = maps[si3, yn, xn]                      # (K, T, T, 2)
+        g = maps[si3, yn, xn].astype(jnp.float32)  # (K, T, T, 2)
     gxs = g[..., 0]
     gys = g[..., 1]
     m = jnp.sqrt(gxs * gxs + gys * gys)

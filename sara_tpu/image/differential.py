@@ -78,3 +78,33 @@ def harris_cornerness(image: jnp.ndarray, sigma_d: float, sigma_i: float,
     det = mxx * myy - mxy * mxy
     tr = mxx + myy
     return (sigma_d * sigma_d) ** 2 * (det - kappa * tr * tr)
+
+
+def mean_curvature(u: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Mean curvature of the isolines of a (H, W) scalar field, densely.
+
+    kappa = (Du^T Hu Du - |Du|^2 tr(Hu)) / (2 |Du|^3); zero where the
+    gradient vanishes (reference: ImageProcessing/Curvature.hpp
+    mean_curvature — per-point; here one vectorized field, the TPU-native
+    form for level-set evolution). Note the reference's convention: in 2-D
+    this equals MINUS HALF the classical isoline curvature div(Du/|Du|)
+    (a circle SDF of radius r gives -1/(2r)).
+    """
+    gx, gy = gradient(u)
+    hxx, hxy, hyy = hessian(u)
+    n2 = gx * gx + gy * gy
+    num = (gx * gx * hxx + 2.0 * gx * gy * hxy + gy * gy * hyy
+           - n2 * (hxx + hyy))
+    return jnp.where(n2 < eps, 0.0, 0.5 * num / jnp.maximum(n2, eps) ** 1.5)
+
+
+def mean_curvature_flow(u: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Mean curvature motion (Du^T Hu Du - |Du|^2 tr Hu) / (2 |Du|^2):
+    the speed term for curvature-driven level-set evolution
+    (reference: Curvature.hpp mean_curvature_flow)."""
+    gx, gy = gradient(u)
+    hxx, hxy, hyy = hessian(u)
+    n2 = gx * gx + gy * gy
+    num = (gx * gx * hxx + 2.0 * gx * gy * hxy + gy * gy * hyy
+           - n2 * (hxx + hyy))
+    return jnp.where(n2 < eps, 0.0, 0.5 * num / jnp.maximum(n2, eps))

@@ -20,6 +20,7 @@ or PnP aborts geometry growth for that frame and the pipeline continues
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -57,6 +58,31 @@ class OdometryConfig:
     ba_window: int = 8            # poses in the BA window (0 = all)
     ba_every: int = 1             # run BA every k accepted frames
     min_track_length: int = 2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sift_params", "ratio", "threshold_px", "num_samples", "min_inliers",
+    "undistort"))
+def _fused_frontend(img, umap, vmap_, prev_kp, key, K, sift_params, ratio,
+                    threshold_px, num_samples, min_inliers, undistort):
+    """Undistort + detect + match + E-RANSAC as ONE device program.
+
+    On the target TPU runtime every dispatch costs ~27 ms RTT; fusing the
+    three per-frame device stages (the reference runs them as separate
+    passes, OdometryPipeline.cpp:69-130) removes two of the three
+    round-trips from the steady-state VO loop.
+    """
+    from sara_tpu.features.api import _compute_sift_jit
+
+    if undistort:
+        img = warp_bilinear(img, umap, vmap_)
+    kp = _compute_sift_jit(img, sift_params)
+    m = match_descriptors(prev_kp, kp, MatchParams(ratio=ratio))
+    v = kp.xy[m.j]
+    res, R, t = estimate_relative_pose(
+        key, prev_kp.xy, v, m.mask, K, K, threshold_px=threshold_px,
+        num_samples=num_samples, min_inliers=min_inliers)
+    return kp, m, res, R, t
 
 
 def _bucket(n: int, lo: int = 256) -> int:
@@ -110,39 +136,58 @@ class OdometryPipeline:
     def process_frame(self, image, frame_index: int = -1) -> bool:
         """Process one (already frame-skipped) video frame.
 
-        Returns True if a new pose was added to the graph.
+        Returns True if a new pose was added to the graph. Steady-state
+        frames run undistort+detect+match+E-RANSAC as one fused device
+        program (one dispatch round-trip instead of three).
         """
-        kp = self._detect(image)
-        return self.process_keypoints(kp, frame_index)
+        if len(self.pose_graph) == 0:
+            kp = self._detect(image)
+            return self.process_keypoints(kp, frame_index)
+        img = jnp.asarray(gray_from_any(image), jnp.float32)
+        undistort = self.maps is not None
+        umap, vmap_ = (self.maps if undistort
+                       else (jnp.zeros((1, 1)), jnp.zeros((1, 1))))
+        kp, m, res, R_rel, t_rel = _fused_frontend(
+            img, umap, vmap_, self._prev_keypoints, self._next_key(),
+            jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
+            self.cfg.rel_pose_threshold_px, self.cfg.rel_pose_samples,
+            self.cfg.rel_pose_min_inliers, undistort)
+        return self._integrate(kp, m, res, R_rel, t_rel, frame_index)
 
     def process_keypoints(self, kp: Keypoints, frame_index: int = -1) -> bool:
         """Geometric core of process_frame, driveable with precomputed
         keypoints (used by tests and offline pipelines)."""
-        kp_host = {
-            "xy": np.asarray(kp.xy), "scale": np.asarray(kp.scale),
-            "response": np.asarray(kp.response), "mask": np.asarray(kp.mask),
-        }
-        n_kp = int(kp_host["mask"].sum())
-
         if len(self.pose_graph) == 0:
+            kp_host = {
+                "xy": np.asarray(kp.xy), "scale": np.asarray(kp.scale),
+                "response": np.asarray(kp.response),
+                "mask": np.asarray(kp.mask),
+            }
             self._accept_first_frame(kp, kp_host, frame_index)
             return True
 
         # Match previous accepted frame vs current.
         m = match_descriptors(self._prev_keypoints, kp,
                               MatchParams(ratio=self.cfg.match_ratio))
-        m_mask = np.asarray(m.mask)
-        mi = np.asarray(m.i)
-        mj = np.asarray(m.j)
-
         u = jnp.asarray(np.asarray(self._prev_keypoints.xy))
-        v = jnp.asarray(kp_host["xy"])[jnp.asarray(mj)]
+        v = kp.xy[m.j]
         res, R_rel, t_rel = estimate_relative_pose(
             self._next_key(), u, v, m.mask,
             jnp.asarray(self.K), jnp.asarray(self.K),
             threshold_px=self.cfg.rel_pose_threshold_px,
             num_samples=self.cfg.rel_pose_samples,
             min_inliers=self.cfg.rel_pose_min_inliers)
+        return self._integrate(kp, m, res, R_rel, t_rel, frame_index)
+
+    def _integrate(self, kp, m, res, R_rel, t_rel, frame_index) -> bool:
+        """Host-side graph/track/map growth from one frame's device results."""
+        kp_host = {
+            "xy": np.asarray(kp.xy), "scale": np.asarray(kp.scale),
+            "response": np.asarray(kp.response), "mask": np.asarray(kp.mask),
+        }
+        m_mask = np.asarray(m.mask)
+        mi = np.asarray(m.i)
+        mj = np.asarray(m.j)
         if not bool(res.success):
             return False
         inl = np.asarray(res.inliers) & m_mask
