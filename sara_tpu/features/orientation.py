@@ -40,24 +40,7 @@ def _binned_magnitude(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     return onehot * mag[None]
 
 
-def _band_matrix(taps, n_in: int, stride: int):
-    """(n_in, n_out) banded Toeplitz matrix applying a correlation with
-    ``taps`` at output stride ``stride``, with edge-replicated borders.
-
-    out[j] = sum_k taps[k] * in[clip(stride*j + k - R, 0, n_in-1)].
-    Built once per (taps, shape) at trace time; the matmul form keeps the
-    blur on the MXU instead of a per-channel VPU conv.
-    """
-    import numpy as np
-
-    R = (len(taps) - 1) // 2
-    n_out = -(-n_in // stride)
-    B = np.zeros((n_in, n_out), np.float32)
-    for j in range(n_out):
-        for k, t in enumerate(taps):
-            i = min(max(stride * j + k - R, 0), n_in - 1)
-            B[i, j] += t
-    return B
+from sara_tpu.image.filtering import band_matrix as _band_matrix  # noqa: E402
 
 
 def _bilinear_channels(maps: jnp.ndarray, ys, xs):

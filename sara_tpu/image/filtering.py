@@ -32,6 +32,29 @@ def gaussian_kernel_1d(sigma: float, truncate: float = 4.0, dtype=jnp.float32) -
     return k / jnp.sum(k)
 
 
+def band_matrix(taps, n_in: int, stride: int):
+    """(n_in, n_out) banded Toeplitz matrix applying a CORRELATION with
+    ``taps`` at output stride ``stride``, with edge-replicated borders:
+
+      out[j] = sum_k taps[k] * in[clip(stride*j + k - R, 0, n_in-1)].
+
+    Built once per (taps, shape) at trace time (numpy) and embedded as a
+    constant. The matmul form keeps 1-D blurs on the MXU — TPU lowers
+    small-channel 1-D convs to a slow per-channel VPU path (~10x slower,
+    NOTES.md).
+    """
+    import numpy as np
+
+    R = (len(taps) - 1) // 2
+    n_out = -(-n_in // stride)
+    B = np.zeros((n_in, n_out), np.float32)
+    for j in range(n_out):
+        for k, t in enumerate(taps):
+            i = min(max(stride * j + k - R, 0), n_in - 1)
+            B[i, j] += t
+    return B
+
+
 def _as_nchw(image: jnp.ndarray):
     """(H,W) | (B,H,W) -> (N,1,H,W) plus a function restoring the shape."""
     shape = image.shape
@@ -52,7 +75,31 @@ def separable_conv2d(image: jnp.ndarray, kx: jnp.ndarray, ky: jnp.ndarray) -> jn
     """Convolve rows with ``kx`` then columns with ``ky``; replicate borders.
 
     ``image``: (..., H, W). Kernels are 1-D, odd length.
+
+    On TPU the two passes run as banded-Toeplitz matmuls on the MXU: 1-D
+    convs lower to a slow VPU path there (measured ~10x slower than the
+    same blur as a band matmul, NOTES.md). On other backends they stay
+    ``lax.conv_general_dilated`` passes.
     """
+    import numpy as np
+
+    concrete = not (isinstance(kx, jax.core.Tracer)
+                    or isinstance(ky, jax.core.Tracer))
+    if jax.default_backend() == "tpu" and concrete:
+        # band_matrix correlates; flip taps to convolve (symmetric Gaussian
+        # taps are unaffected, derivative-style kernels are not). Taps must
+        # be concrete (they are baked into the band-matrix constant); traced
+        # kernels fall through to the conv path.
+        H, W = image.shape[-2:]
+        Bw = jnp.asarray(band_matrix(np.asarray(kx, np.float64)[::-1], W, 1),
+                         image.dtype)
+        Bh = jnp.asarray(band_matrix(np.asarray(ky, np.float64)[::-1], H, 1),
+                         image.dtype)
+        y = jnp.einsum("...hw,wv->...hv", image, Bw,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("hu,...hv->...uv", Bh, y.astype(image.dtype),
+                       preferred_element_type=jnp.float32)
+        return y.astype(image.dtype)
     x, restore = _as_nchw(image)
     rx = kx.shape[0] // 2
     ry = ky.shape[0] // 2
@@ -77,14 +124,25 @@ def conv2d(image: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def gaussian_blur(image: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.ndarray:
-    """Isotropic Gaussian blur (reference: apply_gaussian_filter)."""
-    k = gaussian_kernel_1d(sigma, truncate, dtype=image.dtype)
+    """Isotropic Gaussian blur (reference: apply_gaussian_filter).
+
+    ``sigma`` is a static Python float, so taps are built concretely in
+    numpy — this keeps the TPU band-matmul path available under jit.
+    """
+    import numpy as np
+
+    radius = max(1, int(math.ceil(truncate * float(sigma))))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * float(sigma) ** 2))
+    k = k / k.sum()
     return separable_conv2d(image, k, k)
 
 
 def box_blur(image: jnp.ndarray, radius: int) -> jnp.ndarray:
+    import numpy as np
+
     n = 2 * radius + 1
-    k = jnp.full((n,), 1.0 / n, image.dtype)
+    k = np.full((n,), 1.0 / n)
     return separable_conv2d(image, k, k)
 
 

@@ -138,7 +138,7 @@ def _octave_from_base_grouped(base: jnp.ndarray, sigma0: float, k: float,
     """
     import numpy as np
 
-    from sara_tpu.features.orientation import _band_matrix
+    from sara_tpu.image.filtering import band_matrix as _band_matrix
 
     H, W = base.shape
     sig_direct = [math.sqrt(max((sigma0 * k ** s) ** 2 - sigma0 ** 2, 1e-8))

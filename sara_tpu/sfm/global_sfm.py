@@ -19,6 +19,7 @@ configs 4/5) the global pipeline is the scalable TPU-native design:
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -45,6 +46,38 @@ class GlobalSfMConfig:
     translation_iters: int = 50
     min_track_length: int = 2
     ba_options: BAOptions = field(default_factory=lambda: BAOptions(max_iters=30))
+    # Pairs per device dispatch for the match+relative-pose stage. 0 keeps
+    # the one-program-per-pair path; > 0 runs chunks of pairs as ONE vmapped
+    # program — the scaling path for large unordered collections (a 500-image
+    # set has 10^4-10^5 candidate pairs; at ~27 ms dispatch RTT per program
+    # the per-pair path would spend hours on round-trips alone).
+    pair_chunk: int = 0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ratio", "threshold_px", "num_samples", "min_inliers"))
+def _pair_chunk_program(xy, desc, mask, ia, ib, keys, K,
+                        ratio, threshold_px, num_samples, min_inliers):
+    """Match + E-RANSAC for a chunk of image pairs as one program.
+
+    xy/desc/mask: (V, N, ...) stacked keypoint arrays; ia/ib: (B,) pair
+    indices. Returns per-pair (j, ok, inliers, success, R, t).
+    """
+    from sara_tpu.core.types import Keypoints, Matches
+
+    def one(a, b, key):
+        ka = Keypoints(xy[a], jnp.zeros(xy.shape[1]), jnp.zeros(xy.shape[1]),
+                       jnp.zeros(xy.shape[1]), desc[a], mask[a])
+        kb = Keypoints(xy[b], jnp.zeros(xy.shape[1]), jnp.zeros(xy.shape[1]),
+                       jnp.zeros(xy.shape[1]), desc[b], mask[b])
+        m = match_descriptors(ka, kb, MatchParams(ratio=ratio))
+        res, R, t = estimate_relative_pose(
+            key, xy[a], xy[b][m.j], m.mask, K, K,
+            threshold_px=threshold_px, num_samples=num_samples,
+            min_inliers=min_inliers)
+        return m.j, m.mask, res.inliers & m.mask, res.success, R, t
+
+    return jax.vmap(one)(ia, ib, keys)
 
 
 def _translation_averaging(n: int, edges: Sequence[Tuple[int, int]],
@@ -139,25 +172,54 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
     edges = []
     edge_R = []
     edge_t = []
-    mp = MatchParams(ratio=config.match_ratio)
-    for (a, b) in pairs:
-        ka, kb = keypoint_sets[a], keypoint_sets[b]
-        m = match_descriptors(ka, kb, mp)
-        u = ka.xy
-        v_xy = kb.xy[m.j]
-        key, sub = jax.random.split(key)
-        res, R_rel, t_rel = estimate_relative_pose(
-            sub, u, v_xy, m.mask, Kj, Kj,
-            threshold_px=config.rel_pose_threshold_px,
-            num_samples=config.rel_pose_samples,
-            min_inliers=config.min_pair_inliers)
-        if not bool(res.success):
-            continue
-        inl = np.asarray(res.inliers) & np.asarray(m.mask)
-        edges.append((a, b))
-        edge_R.append(np.asarray(R_rel))
-        edge_t.append(np.asarray(t_rel) / max(np.linalg.norm(np.asarray(t_rel)), 1e-12))
-        tracker.add_matches(a, b, np.asarray(m.i)[inl], np.asarray(m.j)[inl])
+    if config.pair_chunk > 0:
+        # Batched pair stage: chunks of pairs as one vmapped program each.
+        B = config.pair_chunk
+        xy = jnp.stack([k.xy for k in keypoint_sets])
+        desc = jnp.stack([k.descriptors for k in keypoint_sets])
+        msk = jnp.stack([k.mask for k in keypoint_sets])
+        N = xy.shape[1]
+        arange = np.arange(N)
+        for c0 in range(0, len(pairs), B):
+            chunk = pairs[c0:c0 + B]
+            pad = B - len(chunk)
+            ia = jnp.asarray([p[0] for p in chunk] + [0] * pad, jnp.int32)
+            ib = jnp.asarray([p[1] for p in chunk] + [0] * pad, jnp.int32)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, B)
+            j, ok, inl, success, R, t = _pair_chunk_program(
+                xy, desc, msk, ia, ib, keys, Kj,
+                config.match_ratio, config.rel_pose_threshold_px,
+                config.rel_pose_samples, config.min_pair_inliers)
+            j, inl, success, R, t = map(np.asarray, (j, inl, success, R, t))
+            for bi, (a, b) in enumerate(chunk):
+                if not success[bi]:
+                    continue
+                edges.append((a, b))
+                edge_R.append(R[bi])
+                edge_t.append(t[bi] / max(np.linalg.norm(t[bi]), 1e-12))
+                sel = inl[bi]
+                tracker.add_matches(a, b, arange[sel], j[bi][sel])
+    else:
+        mp = MatchParams(ratio=config.match_ratio)
+        for (a, b) in pairs:
+            ka, kb = keypoint_sets[a], keypoint_sets[b]
+            m = match_descriptors(ka, kb, mp)
+            u = ka.xy
+            v_xy = kb.xy[m.j]
+            key, sub = jax.random.split(key)
+            res, R_rel, t_rel = estimate_relative_pose(
+                sub, u, v_xy, m.mask, Kj, Kj,
+                threshold_px=config.rel_pose_threshold_px,
+                num_samples=config.rel_pose_samples,
+                min_inliers=config.min_pair_inliers)
+            if not bool(res.success):
+                continue
+            inl = np.asarray(res.inliers) & np.asarray(m.mask)
+            edges.append((a, b))
+            edge_R.append(np.asarray(R_rel))
+            edge_t.append(np.asarray(t_rel) / max(np.linalg.norm(np.asarray(t_rel)), 1e-12))
+            tracker.add_matches(a, b, np.asarray(m.i)[inl], np.asarray(m.j)[inl])
 
     if len(edges) < V - 1:
         raise RuntimeError(

@@ -147,3 +147,37 @@ def test_pyramid_grouped_matches_cascade(rng):
     # Interior comparison (border handling differs slightly).
     d = np.abs(grouped - cascade)[:, 16:-16, 16:-16]
     assert d.max() < 5e-3, d.max()
+
+
+def test_band_matrix_matches_separable_conv():
+    """The TPU band-matmul path of separable_conv2d must equal the conv
+    path exactly (incl. ASYMMETRIC kernels — convolution, not correlation,
+    and edge-replicated borders)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sara_tpu.image.filtering import band_matrix
+
+    rs = np.random.RandomState(7)
+    img = rs.rand(21, 34)
+    kx = rs.rand(5)          # asymmetric on purpose
+    ky = rs.rand(7)
+
+    # Reference: edge-padded true convolution, rows then columns.
+    def conv1d(a, k, axis):
+        r = len(k) // 2
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (r, r)
+        ap = np.pad(a, pad, mode="edge")
+        out = np.zeros_like(a)
+        for i, t in enumerate(k[::-1]):          # correlation with k[::-1]
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(i, i + a.shape[axis])
+            out += t * ap[tuple(sl)]
+        return out
+
+    ref = conv1d(conv1d(img, kx, 1), ky, 0)
+
+    Bw = band_matrix(kx[::-1], img.shape[1], 1)
+    Bh = band_matrix(ky[::-1], img.shape[0], 1)
+    got = Bh.T.astype(np.float64) @ img @ Bw.astype(np.float64)
+    assert np.abs(got - ref).max() < 1e-6
