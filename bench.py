@@ -25,7 +25,9 @@ import time
 
 import numpy as np
 
-BATCH = 4
+import os
+
+BATCH = int(os.environ.get("SARA_BENCH_BATCH", "4"))
 ITERS = 5
 
 

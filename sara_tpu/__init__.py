@@ -55,3 +55,17 @@ if not _os.environ.get("SARA_TPU_NO_CACHE"):
             _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         except Exception:
             pass
+
+# Default matmul precision: TPU's default (one bfloat16 pass) silently
+# breaks the geometry stack in float32 — measured: the 5-point solver's
+# constraint residuals land above their validity threshold and EVERY RANSAC
+# hypothesis dies (the IRLS refit then rescued E while success stayed
+# False). "float32" forces full-precision passes for f32 matmul INPUTS
+# only; the frontend's deliberate bfloat16 arrays keep the native fast
+# MXU path.
+try:
+    import jax as _jax2
+
+    _jax2.config.update("jax_default_matmul_precision", "float32")
+except Exception:
+    pass

@@ -22,8 +22,10 @@ import jax.numpy as jnp
 
 from sara_tpu.core.types import Keypoints
 from sara_tpu.features.dog import DoGParams, detect_dog_octave
-from sara_tpu.features.orientation import dominant_orientations
-from sara_tpu.features.sift import sift_descriptors
+from sara_tpu.features.orientation import (find_orientation_peaks,
+                                           lowe_smooth, orientation_maps,
+                                           sample_orientation_maps)
+from sara_tpu.features.sift import sift_descriptors, sift_descriptors_field
 from sara_tpu.image.differential import gradient
 from sara_tpu.image.pyramid import PyramidParams, gaussian_pyramid, dog_pyramid
 
@@ -46,6 +48,12 @@ class SIFTParams:
                                 # gathered gradient maps on TPU (the two
                                 # HBM-traffic-dominated stages); detection
                                 # and all normalization stay float32
+    descriptor_field: bool = True  # sample descriptors from the SAME dense
+                                   # blurred 36-bin orientation maps the
+                                   # orientation stage builds (DAISY-style;
+                                   # 64 row-gathers/keypoint instead of 256
+                                   # pixel gathers and zero extra convs);
+                                   # False = exact reference grid descriptor
 
 
 @functools.partial(jax.jit, static_argnames=("params", "sigmas"))
@@ -59,11 +67,14 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     gx, gy = gradient(gauss[:-1])
     cdt = (jnp.bfloat16 if params.low_precision
            and jax.default_backend() == "tpu" else None)
+    ds = 2 if cdt is not None else 1
 
-    theta, tvalid = dominant_orientations(
-        gx, gy, det["x"], det["y"], det["s"], sigmas[:-1],
-        max_peaks=params.max_orientations, compute_dtype=cdt,
-        downsample=2 if cdt is not None else 1)
+    maps = orientation_maps(gx, gy, sigmas[:-1], compute_dtype=cdt,
+                            downsample=ds)
+    hist = lowe_smooth(sample_orientation_maps(
+        maps, det["x"], det["y"], det["s"], downsample=ds))
+    theta, tvalid = find_orientation_peaks(
+        hist, max_peaks=params.max_orientations)
 
     # Replicate each keypoint per valid orientation peak.
     K = det["x"].shape[0]
@@ -85,9 +96,13 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     order = jnp.argsort((~mask).astype(jnp.int32), stable=True)[:K2]
     x, y, s, val, th, mask = (a[order] for a in (x, y, s, val, th, mask))
 
-    desc = sift_descriptors(gx, gy, x, y, s, th, sigmas[:-1],
-                            bilinear=params.descriptor_bilinear,
-                            compute_dtype=cdt)
+    if params.descriptor_field:
+        desc = sift_descriptors_field(maps, x, y, s, th, sigmas[:-1],
+                                      downsample=ds)
+    else:
+        desc = sift_descriptors(gx, gy, x, y, s, th, sigmas[:-1],
+                                bilinear=params.descriptor_bilinear,
+                                compute_dtype=cdt)
     return {"x": x, "y": y, "s": s, "value": val, "theta": th,
             "desc": desc, "mask": mask}
 

@@ -59,114 +59,76 @@ def _bilinear_channels(maps: jnp.ndarray, ys, xs):
             + m[y1, x0] * (1 - fx) * fy + m[y1, x1] * fx * fy)
 
 
-def orientation_histograms(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
-                           x, y, s, sigmas, radius_factor: float = 1.5,
-                           compute_dtype=None, downsample: int = 1):
-    """36-bin Gaussian-weighted orientation histograms for K keypoints.
+def orientation_maps(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
+                     sigmas, radius_factor: float = 1.5,
+                     compute_dtype=None, downsample: int = 1) -> jnp.ndarray:
+    """Dense Gaussian-blurred 36-bin magnitude maps, (S, Hc, Wc, 36).
 
-    Args:
-      gx_stack, gy_stack: (S, H, W) per-scale image gradients (octave).
-      x, y: (K,) refined positions (octave pixel coords).
-      s: (K,) continuous scale index.
-      sigmas: per-scale sigmas within the octave (tuple of static floats).
-      compute_dtype: storage dtype of the dense binned maps and their blurs
-        (bfloat16 on TPU halves the stage's HBM traffic — the dense maps are
-        the dominant cost; histogram peak logic only needs ~1% accuracy).
-        None keeps the input dtype.
-      downsample: 2 runs the blur convs with output stride 2 — the maps hold
-        the exact full-sigma blur at even pixels, at ~40% of the conv work
-        (the stage is VPU-compute-bound on TPU). The keypoint read then
-        bilinearly interpolates a sigma_w >= 2.4 px smooth field sampled
-        every 2 px — error well under the 0.8 peak-ratio margin.
-        1 = dense full-resolution maps.
-
-    Returns hist: (K, 36) in float32.
-
-    On TPU the per-scale Gaussian blurs run as banded-Toeplitz MATMULS on
-    the MXU (one (W, Wc) + one (H, Hc) band matrix per scale) — measured
-    ~10x faster than the equivalent depthwise grouped conv, which lowers to
-    a per-group VPU loop on this hardware. On CPU they stay separable
-    grouped convolutions.
+    The shared field both orientation assignment and the fast "field"
+    descriptor sample from: blur sigma_w = radius_factor * sigma_s per
+    scale equals BOTH the reference's orientation-histogram window
+    (Orientation.hpp:149-196) and the descriptor's spatial-bin half-width
+    l/2 = 1.5 sigma (SIFT.hpp bin_scale_unit=3), so one set of maps serves
+    both stages.
     """
     import math
 
     import numpy as np
-    from jax import lax
 
     S, H, W = gx_stack.shape
-    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else gx_stack.dtype
-    s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
+    dtype = (jnp.dtype(compute_dtype) if compute_dtype is not None
+             else gx_stack.dtype)
 
     dense = jax.vmap(_binned_magnitude)(gx_stack, gy_stack)  # (S, 36, H, W)
     dense = dense.astype(dtype)
 
-    # With downsample=2 the blurs produce the EXACT full-sigma values at
-    # even pixels (blur-then-subsample); the per-keypoint bilinear read then
-    # interpolates a field whose smoothness (sigma_w >= 2.4 px) makes the
-    # 2-px sample spacing safe.
     stride = downsample
-    Hc = -(-H // stride)  # ceil
+    Hc = -(-H // stride)
     Wc = -(-W // stride)
     sig_eff = [radius_factor * float(sg) for sg in sigmas[:S]]
-
-    C = S * NUM_BINS
-    dense = dense.reshape(1, C, H, W)
-
-    # Per-channel tap bank, zero-padded to the widest kernel. Peak weight 1
-    # (the reference accumulates w(r) = exp(-r^2/2s^2), not a density).
     radii = [max(1, int(math.ceil(3.0 * sw))) for sw in sig_eff]
-    R = max(radii)
-    bank = np.zeros((S, 2 * R + 1), np.float32)
-    for si in range(S):
-        sw = sig_eff[si]
-        r = radii[si]
-        xs = np.arange(-r, r + 1, dtype=np.float64)
-        k = np.exp(-(xs * xs) / (2.0 * sw * sw))
-        bank[si, R - r: R + r + 1] = k
-    bank = jnp.asarray(np.repeat(bank, NUM_BINS, axis=0), dtype)  # (C, 2R+1)
 
     if jax.default_backend() == "tpu":
-        # Blur = banded-Toeplitz matmul per axis, one pair per scale. A
-        # depthwise grouped conv runs on the VPU with heavy per-group
-        # overhead (measured ~24 ms for this stage regardless of stride);
-        # expressing the same blur as dense (W, Wc)/(H, Hc) band matrices
-        # costs ~8x the FLOPs but rides the MXU — net ~10x faster. Band
-        # matrices clamp indices at the border (edge padding) and fold the
-        # output stride directly into the output grid.
-        d4 = dense.reshape(S, NUM_BINS, H, W)
+        # Blur = banded-Toeplitz matmul per axis per scale (MXU); a grouped
+        # depthwise conv lowers to a slow per-group VPU path (NOTES.md).
         per_scale = []
         for si in range(S):
-            taps = np.zeros(2 * radii[si] + 1, np.float64)
             sw = sig_eff[si]
             xs = np.arange(-radii[si], radii[si] + 1, dtype=np.float64)
-            taps[:] = np.exp(-(xs * xs) / (2.0 * sw * sw))
+            taps = np.exp(-(xs * xs) / (2.0 * sw * sw))
             Bw = jnp.asarray(_band_matrix(taps, W, stride), dtype)
             Bh = jnp.asarray(_band_matrix(taps, H, stride), dtype)
-            r1 = jnp.einsum("bhw,wv->bhv", d4[si], Bw,
+            r1 = jnp.einsum("bhw,wv->bhv", dense[si], Bw,
                             preferred_element_type=jnp.float32)
             r2 = jnp.einsum("bhv,hu->buv", r1.astype(dtype), Bh,
                             preferred_element_type=jnp.float32)
             per_scale.append(r2.astype(dtype))
         maps = jnp.stack(per_scale, axis=0)       # (S, 36, Hc, Wc)
     else:
-        # XLA:CPU executes grouped convs serially per group — use the
-        # per-scale batched path there (identical math, same tap bank).
+        # XLA:CPU: per-scale separable grouped path (identical math).
         per_scale = []
         for si in range(S):
-            # Trim each scale's taps to its true support.
-            taps = bank[si * NUM_BINS, R - radii[si]: R + radii[si] + 1]
-            per_scale.append(separable_conv2d(
-                dense[0, si * NUM_BINS:(si + 1) * NUM_BINS], taps, taps))
+            sw = sig_eff[si]
+            xs = np.arange(-radii[si], radii[si] + 1, dtype=np.float64)
+            taps = jnp.asarray(np.exp(-(xs * xs) / (2.0 * sw * sw)), dtype)
+            per_scale.append(separable_conv2d(dense[si], taps, taps))
         maps = jnp.stack(per_scale, axis=0)[:, :, ::stride, ::stride]
-    maps = jnp.moveaxis(maps, 1, -1)              # (S, Hc, Wc, 36)
+    return jnp.moveaxis(maps, 1, -1)              # (S, Hc, Wc, 36)
 
-    # Bilinear read of each keypoint's 36-vector with the scale index folded
-    # into one advanced-indexing gather. (A vmapped dynamic_index over the
-    # scale axis materializes a (K, H, W, 36) intermediate — 160 GB.)
-    if stride > 1:
+
+def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
+                            downsample: int = 1) -> jnp.ndarray:
+    """Bilinear read of each keypoint's 36-vector from the dense maps.
+
+    The scale index folds into one advanced-indexing gather (a vmapped
+    dynamic_index over the scale axis materializes (K, H, W, 36) — 160 GB).
+    """
+    S, Hc, Wc, _ = maps.shape
+    s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
+    if downsample > 1:
         # Half-res sample j holds the blur at original pixel stride*j.
-        x = x / stride
-        y = y / stride
+        x = x / downsample
+        y = y / downsample
     xc = jnp.clip(x, 0.0, Wc - 1.0)
     yc = jnp.clip(y, 0.0, Hc - 1.0)
     x0 = jnp.floor(xc).astype(jnp.int32)
@@ -175,11 +137,26 @@ def orientation_histograms(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
     y1 = jnp.minimum(y0 + 1, Hc - 1)
     fx = (xc - x0)[:, None].astype(jnp.float32)
     fy = (yc - y0)[:, None].astype(jnp.float32)
-    hist = (maps[s_idx, y0, x0].astype(jnp.float32) * (1 - fx) * (1 - fy)
+    return (maps[s_idx, y0, x0].astype(jnp.float32) * (1 - fx) * (1 - fy)
             + maps[s_idx, y0, x1].astype(jnp.float32) * fx * (1 - fy)
             + maps[s_idx, y1, x0].astype(jnp.float32) * (1 - fx) * fy
             + maps[s_idx, y1, x1].astype(jnp.float32) * fx * fy)
-    return hist
+
+
+def orientation_histograms(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
+                           x, y, s, sigmas, radius_factor: float = 1.5,
+                           compute_dtype=None, downsample: int = 1):
+    """36-bin Gaussian-weighted orientation histograms for K keypoints.
+
+    Thin composition of :func:`orientation_maps` (dense blurred binned maps)
+    and :func:`sample_orientation_maps` (per-keypoint bilinear reads); see
+    those for the TPU design notes. Returns (K, 36) float32.
+    """
+    maps = orientation_maps(gx_stack, gy_stack, sigmas,
+                            radius_factor=radius_factor,
+                            compute_dtype=compute_dtype,
+                            downsample=downsample)
+    return sample_orientation_maps(maps, x, y, s, downsample=downsample)
 
 
 def lowe_smooth(hist: jnp.ndarray, iters: int = 6) -> jnp.ndarray:

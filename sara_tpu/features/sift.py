@@ -150,3 +150,86 @@ def root_sift(desc: jnp.ndarray) -> jnp.ndarray:
     (reference: FeatureDescriptors/RootSIFT.hpp)."""
     l1 = jnp.sum(jnp.abs(desc), axis=-1, keepdims=True)
     return jnp.sqrt(desc / jnp.maximum(l1, 1e-12))
+
+
+def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
+                           downsample: int = 1) -> jnp.ndarray:
+    """128-D descriptors sampled from the dense blurred orientation maps.
+
+    DAISY-style fast variant of the SIFT descriptor (cf. the exact-grid
+    :func:`sift_descriptors`): each of the 4x4 spatial bins reads ONE
+    bilinear sample of the shared 36-channel orientation field at the
+    rotated bin center, and the 36 fine orientation channels collapse into
+    the 8 coarse bins (rotated by theta) with circular triangle weights.
+
+    The key identity making the maps shareable: their per-scale blur
+    sigma_w = 1.5 sigma equals the descriptor's bin half-width l/2
+    (l = 3 sigma, reference SIFT.hpp bin_scale_unit), so the Gaussian field
+    aggregation plays the role of the reference's per-pixel tent window.
+
+    Cost: 16 bin centers x 4 bilinear corners = 64 gathers of contiguous
+    36-channel rows per keypoint, vs 256 scattered 2-channel gathers for
+    the exact grid — the gather count, not bytes, bounds TPU runtime.
+
+    Args:
+      maps: (S, Hc, Wc, 36) from orientation_maps().
+      x, y, s, theta: (K,) keypoint geometry (octave pixel coords).
+      sigmas: per-scale sigmas (static tuple).
+      downsample: the maps' stride (must match orientation_maps).
+
+    Returns (K, 128) float32, L2-normalized with 0.2 clamping.
+    """
+    from sara_tpu.features.orientation import NUM_BINS as FB  # 36
+
+    S, Hc, Wc, _ = maps.shape
+    K = x.shape[0]
+    s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
+    sig_table = jnp.asarray(sigmas, jnp.float32)
+    l = BIN_SCALE_UNIT * sig_table[s_idx]                 # (K,)
+
+    # Rotated 4x4 bin-center grid in image coords.
+    u = (jnp.arange(N_SPATIAL, dtype=jnp.float32) - (N_SPATIAL - 1) / 2.0)
+    uu, vv = jnp.meshgrid(u, u)                            # (4, 4) cols, rows
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    dx = (ct[:, None, None] * uu - st[:, None, None] * vv) * l[:, None, None]
+    dy = (st[:, None, None] * uu + ct[:, None, None] * vv) * l[:, None, None]
+    xs = (x[:, None, None] + dx).reshape(K, -1)            # (K, 16)
+    ys = (y[:, None, None] + dy).reshape(K, -1)
+
+    if downsample > 1:
+        xs = xs / downsample
+        ys = ys / downsample
+    xc = jnp.clip(xs, 0.0, Wc - 1.0)
+    yc = jnp.clip(ys, 0.0, Hc - 1.0)
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, Wc - 1)
+    y1 = jnp.minimum(y0 + 1, Hc - 1)
+    fx = (xc - x0)[..., None].astype(jnp.float32)
+    fy = (yc - y0)[..., None].astype(jnp.float32)
+    si = s_idx[:, None]
+    F = (maps[si, y0, x0].astype(jnp.float32) * (1 - fx) * (1 - fy)
+         + maps[si, y0, x1].astype(jnp.float32) * fx * (1 - fy)
+         + maps[si, y1, x0].astype(jnp.float32) * (1 - fx) * fy
+         + maps[si, y1, x1].astype(jnp.float32) * fx * fy)   # (K, 16, 36)
+
+    # Collapse 36 fine orientation channels into 8 theta-rotated coarse bins
+    # with the exact path's circular triangle weights (bins centered at
+    # rel = o * 45 deg).
+    alpha = (jnp.arange(FB, dtype=jnp.float32) + 0.5) * (2 * jnp.pi / FB)
+    ob = (alpha[None, :] - theta[:, None]) / (2 * jnp.pi) * N_ORI  # (K, 36)
+    o = jnp.arange(N_ORI, dtype=jnp.float32)
+    d = jnp.abs((ob[..., None] - o[None, None, :] + N_ORI / 2) % N_ORI
+                - N_ORI / 2)
+    wfo = jnp.maximum(0.0, 1.0 - d)                        # (K, 36, 8)
+
+    # Global Gaussian window over the patch, sigma = N/2 bin units.
+    g = jnp.exp(-(uu ** 2 + vv ** 2) / (2.0 * (N_SPATIAL / 2.0) ** 2))
+    desc = jnp.einsum("knf,kfo->kno", F, wfo) * g.reshape(1, -1, 1)
+    desc = desc.reshape(K, N_SPATIAL * N_SPATIAL * N_ORI)
+
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    desc = jnp.minimum(desc, MAX_BIN_VALUE)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-12)
