@@ -27,7 +27,9 @@ import numpy as np
 
 import os
 
-BATCH = int(os.environ.get("SARA_BENCH_BATCH", "4"))
+# Batch 8 overtook batch 4 once the frontend's per-frame compute shrank 4x
+# (69.5 vs 50.0 frames/s measured); override with SARA_BENCH_BATCH.
+BATCH = int(os.environ.get("SARA_BENCH_BATCH", "8"))
 ITERS = 5
 
 

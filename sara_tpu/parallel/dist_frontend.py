@@ -23,13 +23,11 @@ def _match_batch(da, ma, db, mb, ratio: float):
     da: (B, N, D), ma: (B, N) masks; returns (j (B, N), ok (B, N), d1)."""
 
     def one(dA, mA, dB, mB):
-        na = jnp.sum(dA * dA, axis=-1, keepdims=True)
-        nb = jnp.sum(dB * dB, axis=-1, keepdims=True)
-        d2 = jnp.maximum(na + nb.T - 2.0 * (dA @ dB.T), 0.0)
+        from sara_tpu.matching.brute_force import _pairwise_sqdist, _top2_min
+
+        d2 = _pairwise_sqdist(dA, dB)
         d2 = jnp.where(mA[:, None] & mB[None, :], d2, jnp.inf)
-        neg, idx = jax.lax.top_k(-d2, 2)
-        d1, d2nd = -neg[:, 0], -neg[:, 1]
-        j = idx[:, 0]
+        d1, d2nd, j = _top2_min(d2)
         ok = (d1 < ratio * ratio * d2nd) & mA & jnp.isfinite(d1)
         jT = jnp.argmin(d2, axis=0)
         ok = ok & (jT[j] == jnp.arange(dA.shape[0]))

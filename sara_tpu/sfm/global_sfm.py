@@ -115,7 +115,9 @@ def _translation_averaging(n: int, edges: Sequence[Tuple[int, int]],
             rhs[ei[e]] -= v
             rhs[ej[e]] += v
         rhs[0] = 0.0
-        c = np.linalg.solve(L, rhs)
+        # lstsq: tolerant of a disconnected epipolar graph (isolated
+        # cameras get the minimum-norm center instead of a hard failure).
+        c = np.linalg.lstsq(L, rhs, rcond=None)[0]
         # Update scales.
         d = c[ej] - c[ei]
         s = np.maximum(np.einsum("ed,ed->e", d, u_dirs), s_min)

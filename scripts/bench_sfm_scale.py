@@ -33,11 +33,71 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _make_ring_scene(n_views: int, n_points: int, capacity: int,
+                     noise: float = 0.3, seed: int = 1):
+    """Cameras on a ring of radius 18 looking at a central point cloud —
+    every view sees the cloud, so the scene supports arbitrarily many views
+    (the small-sequence test fixture walks away from the cloud and goes
+    blind past ~40 frames)."""
+    import jax.numpy as jnp
+
+    from sara_tpu.core.types import Keypoints
+
+    rs = np.random.RandomState(seed)
+    X = rs.uniform(-5, 5, (n_points, 3))
+    desc = rs.normal(size=(n_points, 128))
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    K = np.array([[800.0, 0, 512.0], [0, 800.0, 384.0], [0, 0, 1.0]])
+
+    kps, centers = [], []
+    for f in range(n_views):
+        ang = 2 * np.pi * f / n_views
+        c = np.array([18.0 * np.cos(ang), 2.0 * np.sin(3 * ang),
+                      18.0 * np.sin(ang)])
+        # Look at the origin: z-axis toward -c.
+        z = -c / np.linalg.norm(c)
+        up = np.array([0.0, 1.0, 0.0])
+        xax = np.cross(up, z)
+        xax /= np.linalg.norm(xax)
+        yax = np.cross(z, xax)
+        R = np.stack([xax, yax, z])         # world -> camera rows
+        t = -R @ c
+        centers.append(c)
+        Xc = X @ R.T + t
+        vis = Xc[:, 2] > 1.0
+        uv = Xc @ K.T
+        uv = uv[:, :2] / uv[:, 2:]
+        inside = ((uv[:, 0] >= 0) & (uv[:, 0] < 1024)
+                  & (uv[:, 1] >= 0) & (uv[:, 1] < 768))
+        # Deterministic (point-id) selection: adjacent views then share most
+        # of their kept points — a random subsample per view would leave
+        # only ~(cap/N)^2*N common points and starve the matcher.
+        idx = np.nonzero(vis & inside)[0][:capacity]
+        n = len(idx)
+        xy = np.zeros((capacity, 2), np.float32)
+        xy[:n] = uv[idx] + rs.normal(scale=noise, size=(n, 2))
+        d = np.zeros((capacity, 128), np.float32)
+        d[:n] = desc[idx]
+        mask = np.zeros(capacity, bool)
+        mask[:n] = True
+        kps.append(Keypoints(
+            xy=jnp.asarray(xy),
+            scale=jnp.asarray(np.full(capacity, 2.0, np.float32)),
+            orientation=jnp.asarray(np.zeros(capacity, np.float32)),
+            response=jnp.asarray(mask.astype(np.float32)),
+            descriptors=jnp.asarray(d),
+            mask=jnp.asarray(mask),
+        ))
+    return kps, np.asarray(centers), K
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--views", type=int, default=128)
-    ap.add_argument("--points", type=int, default=4000)
-    ap.add_argument("--capacity", type=int, default=256)
+    ap.add_argument("--points", type=int, default=900,
+                    help="cloud size; ~half is visible per ring view, so "
+                         "keep below 2x capacity for dense overlap")
+    ap.add_argument("--capacity", type=int, default=512)
     ap.add_argument("--window", type=int, default=4,
                     help="pair each view with the next k views")
     ap.add_argument("--chunk", type=int, default=32,
@@ -46,16 +106,14 @@ def main():
                     help="RANSAC hypotheses per pair")
     args = ap.parse_args()
 
-    from test_sfm_pipeline import _make_sequence
     from sara_tpu.ba import BAOptions
     from sara_tpu.sfm.global_sfm import GlobalSfMConfig, run_global_sfm
     from sara_tpu.utils import ate_rmse
 
     log(f"building synthetic collection: {args.views} views, "
         f"{args.points} points, capacity {args.capacity}")
-    kps, centers_gt, K = _make_sequence(
-        n_frames=args.views, n_points=args.points, noise=0.3, seed=1,
-        capacity=args.capacity)
+    kps, centers_gt, K = _make_ring_scene(
+        n_views=args.views, n_points=args.points, capacity=args.capacity)
 
     pairs = [(i, j) for i in range(args.views)
              for j in range(i + 1, min(i + 1 + args.window, args.views))]
