@@ -176,10 +176,25 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
     edge_t = []
     if config.pair_chunk > 0:
         # Batched pair stage: chunks of pairs as one vmapped program each.
+        # The view axis is padded to a power-of-two bucket so the compiled
+        # program is reused as the collection grows (compile time on the
+        # target runtime is ~10 s per fresh shape; an incremental driver
+        # adding views one by one would otherwise recompile every frame).
+        # Padded views are all-masked-out and never indexed by real pairs.
         B = config.pair_chunk
-        xy = jnp.stack([k.xy for k in keypoint_sets])
-        desc = jnp.stack([k.descriptors for k in keypoint_sets])
-        msk = jnp.stack([k.mask for k in keypoint_sets])
+        Vb = max(8, 1 << (V - 1).bit_length())
+        pad_v = Vb - V
+
+        def stack_pad(arrs):
+            s = jnp.stack(arrs)
+            if pad_v:
+                s = jnp.concatenate(
+                    [s, jnp.zeros((pad_v,) + s.shape[1:], s.dtype)])
+            return s
+
+        xy = stack_pad([k.xy for k in keypoint_sets])
+        desc = stack_pad([k.descriptors for k in keypoint_sets])
+        msk = stack_pad([k.mask for k in keypoint_sets])
         N = xy.shape[1]
         arange = np.arange(N)
         for c0 in range(0, len(pairs), B):

@@ -58,6 +58,7 @@ class OdometryConfig:
     ba_window: int = 8            # poses in the BA window (0 = all)
     ba_every: int = 1             # run BA every k accepted frames
     min_track_length: int = 2
+    frontend_batch: int = 4       # frames per fused frontend dispatch
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -83,6 +84,44 @@ def _fused_frontend(img, umap, vmap_, prev_kp, key, K, sift_params, ratio,
         key, prev_kp.xy, v, m.mask, K, K, threshold_px=threshold_px,
         num_samples=num_samples, min_inliers=min_inliers)
     return kp, m, res, R, t
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sift_params", "ratio", "threshold_px", "num_samples", "min_inliers",
+    "undistort"))
+def _fused_frontend_batch(imgs, umap, vmap_, prev_kp, keys, K, sift_params,
+                          ratio, threshold_px, num_samples, min_inliers,
+                          undistort):
+    """Multi-frame frontend: B frames of undistort+detect+match+E-RANSAC
+    as ONE device program.
+
+    Detection is independent per frame (vmapped); matching/RANSAC pairs
+    each frame with its predecessor (frame 0 pairs with ``prev_kp``), so the
+    whole lookahead window costs a single dispatch round-trip (~27 ms on
+    the target runtime) instead of B of them. Host-side graph/track/map
+    growth then consumes the results sequentially.
+    """
+    from sara_tpu.features.api import _compute_sift_jit
+
+    def detect(img):
+        if undistort:
+            img = warp_bilinear(img, umap, vmap_)
+        return _compute_sift_jit(img, sift_params)
+
+    kps = jax.vmap(detect)(imgs)
+    left = jax.tree_util.tree_map(
+        lambda p, s: jnp.concatenate([p[None], s[:-1]], axis=0), prev_kp, kps)
+
+    def pair(a, b, key):
+        m = match_descriptors(a, b, MatchParams(ratio=ratio))
+        v = b.xy[m.j]
+        res, R, t = estimate_relative_pose(
+            key, a.xy, v, m.mask, K, K, threshold_px=threshold_px,
+            num_samples=num_samples, min_inliers=min_inliers)
+        return m, res, R, t
+
+    ms, ress, Rs, ts = jax.vmap(pair)(left, kps, keys)
+    return kps, ms, ress, Rs, ts
 
 
 def _bucket(n: int, lo: int = 256) -> int:
@@ -153,6 +192,64 @@ class OdometryPipeline:
             self.cfg.rel_pose_threshold_px, self.cfg.rel_pose_samples,
             self.cfg.rel_pose_min_inliers, undistort)
         return self._integrate(kp, m, res, R_rel, t_rel, frame_index)
+
+    def process_frames(self, images, frame_indices=None) -> list:
+        """Process a sequence of frames through the batched frontend.
+
+        Runs ``frontend_batch`` frames of undistort+detect+match+E-RANSAC
+        per device dispatch (one round-trip for the whole window), then
+        grows the graph/tracks/map sequentially on the host. Within a
+        window each frame is matched against its predecessor's detection;
+        if a frame is rejected (< min inliers) the chain through it is
+        invalid, so the remaining frames of that window fall back to the
+        per-frame path against the last *accepted* frame.
+
+        Returns a list of per-frame booleans (pose added or not).
+        """
+        images = list(images)
+        if frame_indices is None:
+            frame_indices = [-1] * len(images)
+        out = []
+        start = 0
+        if len(self.pose_graph) == 0 and images:
+            out.append(self.process_frame(images[0], frame_indices[0]))
+            start = 1
+        B = max(1, self.cfg.frontend_batch)
+        undistort = self.maps is not None
+        umap, vmap_ = (self.maps if undistort
+                       else (jnp.zeros((1, 1)), jnp.zeros((1, 1))))
+        i = start
+        while i < len(images):
+            chunk = [np.asarray(gray_from_any(im), np.float32)
+                     for im in images[i:i + B]]
+            n = len(chunk)
+            # Pad the final window to the compiled batch size; padded
+            # slots repeat the last frame and are never integrated.
+            imgs = jnp.asarray(np.stack(chunk + [chunk[-1]] * (B - n)))
+            keys = jax.random.split(self._next_key(), B)
+            kps, ms, ress, Rs, ts = _fused_frontend_batch(
+                imgs, umap, vmap_, self._prev_keypoints, keys,
+                jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
+                self.cfg.rel_pose_threshold_px, self.cfg.rel_pose_samples,
+                self.cfg.rel_pose_min_inliers, undistort)
+            chain_ok = True
+            for k in range(n):
+                sl = lambda t: jax.tree_util.tree_map(lambda x: x[k], t)
+                if chain_ok:
+                    ok = self._integrate(sl(kps), sl(ms), sl(ress),
+                                         Rs[k], ts[k], frame_indices[i + k])
+                    if not ok:
+                        chain_ok = False
+                else:
+                    # Re-match against the last accepted frame. On success
+                    # this frame becomes the last accepted one, so the next
+                    # frame's batched result (matched against this frame's
+                    # detection) is valid again.
+                    ok = self.process_keypoints(sl(kps), frame_indices[i + k])
+                    chain_ok = bool(ok)
+                out.append(ok)
+            i += n
+        return out
 
     def process_keypoints(self, kp: Keypoints, frame_index: int = -1) -> bool:
         """Geometric core of process_frame, driveable with precomputed

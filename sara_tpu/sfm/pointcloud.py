@@ -81,13 +81,21 @@ class PointCloudGenerator:
 
     def write_ply(self, path: str):
         """ASCII PLY export (reference: PointCloudGenerator.cpp:447-507)."""
-        n = len(self.points)
-        with open(path, "w") as f:
-            f.write("ply\nformat ascii 1.0\n")
-            f.write(f"element vertex {n}\n")
-            f.write("property float x\nproperty float y\nproperty float z\n")
-            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
-            f.write("end_header\n")
-            for p, c in zip(self.points, self.colors):
-                r, g, b = (np.clip(c, 0, 1) * 255).astype(int)
-                f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {r} {g} {b}\n")
+        write_ply(path, self.points, self.colors)
+
+
+def write_ply(path: str, points, colors=None):
+    """ASCII PLY export of an (N, 3) point array with optional (N, 3)
+    colors in [0, 1] (reference: PointCloudGenerator.cpp:447-507)."""
+    points = np.asarray(points, float)
+    colors = (np.full_like(points, 0.7) if colors is None
+              else np.asarray(colors, float))
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(points)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for p, c in zip(points, colors):
+            r, g, b = (np.clip(c, 0, 1) * 255).astype(int)
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {r} {g} {b}\n")

@@ -29,17 +29,19 @@ def test_global_sfm_8_views():
 
 def test_global_sfm_batched_pair_stage():
     """pair_chunk > 0 (chunks of pairs as one vmapped program) must match
-    the per-pair path's reconstruction quality."""
+    the per-pair path's reconstruction quality. Uses 7 views so the
+    power-of-two view-axis bucketing (compile reuse across collection
+    sizes) pads one all-masked view."""
     from sara_tpu.ba import BAOptions
 
-    kps, centers_gt, K = _make_sequence(n_frames=8, n_points=300, noise=0.3,
+    kps, centers_gt, K = _make_sequence(n_frames=7, n_points=300, noise=0.3,
                                         seed=1, capacity=512)
     cfg = GlobalSfMConfig(rel_pose_samples=200, min_pair_inliers=30,
                           pair_chunk=8,
                           ba_options=BAOptions(max_iters=20))
     out = run_global_sfm(kps, K, config=cfg)
-    assert out["num_edges"] >= 7
-    centers = np.stack([-out["R"][v].T @ out["t"][v] for v in range(8)])
+    assert out["num_edges"] >= 6
+    centers = np.stack([-out["R"][v].T @ out["t"][v] for v in range(7)])
     err = ate_rmse(centers, centers_gt)
     assert err < 0.15, f"ATE {err}"
     assert len(out["points"]) > 100
