@@ -85,6 +85,32 @@ for _i in range(_N_REMIX - 1):
     _QS.append(_q)
 _REMIXES = np.stack(_QS)  # (_N_REMIX, 4, 4)
 
+# --- Fourier representation of the homogenized resultant -------------------
+# g(phi) = det(C0 c^3 + C1 c^2 s + C2 c s^2 + C3 s^3), (s, c) = sin/cos(phi),
+# is a homogeneous degree-30 form in (c, s): a pi-periodic trig polynomial
+# spanned by {cos(k phi)}_{k=0,2,..,30} and {sin(k phi)}_{k=2,4,..,30} —
+# exactly 31 coefficients. Sampling g at 31 fixed nodes therefore determines
+# it EXACTLY; every further evaluation (grid scan, subdivision, bisection)
+# becomes a 31-term series instead of a 10x10 LU determinant. This cuts the
+# ~467 batched small-LU factorizations per hypothesis/remix (the dominant
+# cost of E-RANSAC on TPU: batched small LU lowers very poorly) to 31.
+_N_SAMP = 31
+_K_COS = np.arange(0, 31, 2)   # 16 cosine harmonics
+_K_SIN = np.arange(2, 31, 2)   # 15 sine harmonics
+
+
+def _trig_basis_np(phi):
+    phi = np.asarray(phi, np.float64)
+    return np.concatenate([np.cos(np.outer(phi, _K_COS)),
+                           np.sin(np.outer(phi, _K_SIN))], axis=1)
+
+
+_PHI_NODES = -np.pi / 2 + np.pi * np.arange(_N_SAMP) / _N_SAMP
+_B_NODES_INV = np.linalg.inv(_trig_basis_np(_PHI_NODES))
+assert np.linalg.cond(_trig_basis_np(_PHI_NODES)) < 50.0  # DFT-like: ~O(1)
+_GRID_PHI = np.linspace(-_PHI_MAX, _PHI_MAX, _GRID)
+_B_GRID = _trig_basis_np(_GRID_PHI)  # (_GRID, 31)
+
 
 def _constraints(E: jnp.ndarray) -> jnp.ndarray:
     """The 10 essential constraints of E (..., 3, 3) -> (..., 10).
@@ -125,14 +151,47 @@ def _det_trig(C, s, c):
     return jnp.linalg.det(M)
 
 
+def _resultant_coeffs(C):
+    """Fourier coefficients of g(phi) = det of the homogenized pencil.
+
+    Rows are scaled by a phi-INDEPENDENT factor (the norm of the stacked
+    coefficient rows) so the polynomial structure survives while entries
+    stay O(1) — the per-phi row normalization of ``_det_trig`` is not a
+    polynomial and cannot be interpolated. Exact for the degree-30 form;
+    31 determinant evaluations total.
+    """
+    dtype = C.dtype
+    rown = jnp.linalg.norm(
+        jnp.concatenate([C[0], C[1], C[2], C[3]], axis=-1), axis=-1)
+    Cs = C / jnp.maximum(rown, 1e-30)[None, :, None]
+    phi = jnp.asarray(_PHI_NODES, dtype)
+    s, c = jnp.sin(phi), jnp.cos(phi)
+    M = (Cs[0][None] * (c ** 3)[:, None, None]
+         + Cs[1][None] * (c * c * s)[:, None, None]
+         + Cs[2][None] * (c * s * s)[:, None, None]
+         + Cs[3][None] * (s ** 3)[:, None, None])
+    samples = jnp.linalg.det(M)                     # (31,)
+    return jnp.asarray(_B_NODES_INV, dtype) @ samples
+
+
+def _series_eval(coeff, phi):
+    """Evaluate the 31-term trig series at arbitrary phi (any shape)."""
+    kc = jnp.asarray(_K_COS, coeff.dtype)
+    ks = jnp.asarray(_K_SIN, coeff.dtype)
+    b = jnp.concatenate([jnp.cos(phi[..., None] * kc),
+                         jnp.sin(phi[..., None] * ks)], axis=-1)
+    return b @ coeff
+
+
 def _find_roots(C, dtype):
     """Real roots of det C(z) = 0 with |z| <= tan(_PHI_MAX).
 
     Returns (z (_ROOTS_PER_REMIX,), has_root (_ROOTS_PER_REMIX,))."""
     R = _ROOTS_PER_REMIX
+    coeff = _resultant_coeffs(C)
     phi = jnp.linspace(-_PHI_MAX, _PHI_MAX, _GRID, dtype=dtype)
-    geval = lambda p: _det_trig(C, jnp.sin(p), jnp.cos(p))
-    g = jax.vmap(geval)(phi)
+    geval = lambda p: _series_eval(coeff, p)
+    g = jnp.asarray(_B_GRID, dtype) @ coeff         # geval at the fixed grid
     sign = jnp.sign(g)
     change = (sign[:-1] * sign[1:]) < 0
     _, idx = jax.lax.top_k(jnp.where(change, 1.0, 0.0), R)
@@ -151,7 +210,7 @@ def _find_roots(C, dtype):
     sub_hi = phi[jnp.minimum(ctr + 1, _GRID - 1)]
     frac = jnp.linspace(0.0, 1.0, _SUBDIV + 1, dtype=dtype)
     sub_phi = sub_lo[:, None] + (sub_hi - sub_lo)[:, None] * frac[None, :]
-    sub_g = jax.vmap(jax.vmap(geval))(sub_phi)
+    sub_g = geval(sub_phi)
     ssign = jnp.sign(sub_g)
     sub_change = ((ssign[:, :-1] * ssign[:, 1:]) < 0) & sus_valid[:, None]
     _, sc_idx = jax.lax.top_k(jnp.where(sub_change, 1.0, 0.0), 2)
@@ -170,7 +229,7 @@ def _find_roots(C, dtype):
     def body(_, state):
         lo, hi, glo = state
         mid = 0.5 * (lo + hi)
-        gmid = jax.vmap(geval)(mid)
+        gmid = geval(mid)
         left = (glo * gmid) <= 0
         return (jnp.where(left, lo, mid), jnp.where(left, mid, hi),
                 jnp.where(left, glo, gmid))
@@ -190,8 +249,22 @@ def _solve_basis(basis4):
     Cz = (C[0][None] + C[1][None] * z[:, None, None]
           + C[2][None] * z[:, None, None] ** 2
           + C[3][None] * z[:, None, None] ** 3)
-    _, _, Vtz = jnp.linalg.svd(Cz)
-    m = Vtz[:, -1, :]
+    # Null vector of Cz by shifted inverse iteration on the normal
+    # equations (batched 10x10 SVD is far more expensive on TPU than a
+    # Cholesky + 2 solves; at a bisected root the smallest eigenvalue of
+    # A = Cz^T Cz is ~0, so two iterations reach the null space).
+    Czn = Cz / jnp.maximum(
+        jnp.linalg.norm(Cz, axis=(-2, -1), keepdims=True), 1e-30)
+    A = jnp.swapaxes(Czn, -1, -2) @ Czn
+    # Shift 1e-6: far below the second eigenvalue (O(1e-2..1) for generic
+    # 5-point problems), far above the null eigenvalue at a bisected root,
+    # and large enough to keep the f32 LU well-posed.
+    A = A + 1e-6 * jnp.eye(10, dtype=A.dtype)
+    m = jnp.ones(Cz.shape[:-2] + (10,), Cz.dtype) / jnp.sqrt(10.0)
+    for _ in range(2):
+        m = jnp.linalg.solve(A, m[..., None])[..., 0]
+        m = m / jnp.maximum(
+            jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-30)
     w_m = m[:, 9]
     w_safe = jnp.where(jnp.abs(w_m) < 1e-10, 1e-10, w_m)
     x = m[:, 7] / w_safe
