@@ -38,13 +38,23 @@ class BAProblem(NamedTuple):
 
     poses:      (C, 6) angle-axis + translation, world->camera.
     points:     (P, 3) scene points.
-    intrinsics: (4,) shared pinhole [fx, fy, cx, cy].
+    intrinsics: (4,) shared pinhole [fx, fy, cx, cy], or (8,)
+                [fx, fy, cx, cy, k1, k2, p1, p2] for a Brown-Conrady
+                distortion-aware residual (same distortion convention as
+                :class:`sara_tpu.core.cameras.BrownConrady`; reference:
+                MultiViewGeometry/Calibration/PinholeCameraReprojectionError.hpp).
     cam_idx:    (O,) int32 camera of each observation.
     pt_idx:     (O,) int32 point of each observation.
     uv:         (O, 2) observed pixels.
     obs_mask:   (O,) bool.
-    pose_fixed: (C,) bool — frozen cameras (gauge).
+    pose_fixed: (C,) bool — frozen cameras (gauge) — or (C, 6) bool to
+                freeze individual pose components (e.g. one translation
+                coordinate of the second camera pins the monocular scale).
     point_fixed:(P,) bool — frozen points.
+    intr_free:  optional (Ki,) bool — which intrinsics components to
+                OPTIMIZE (the reference packs intrinsics as a parameter
+                block, BundleAdjuster.cpp:162-210). None (default) keeps
+                intrinsics constant, exactly the classic pipeline behavior.
     """
 
     poses: jnp.ndarray
@@ -56,6 +66,7 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray
     pose_fixed: jnp.ndarray
     point_fixed: jnp.ndarray
+    intr_free: jnp.ndarray | None = None
 
 
 class BAOptions(NamedTuple):
@@ -72,13 +83,24 @@ class BAOptions(NamedTuple):
 
 
 def _project(intr, pose6, X):
-    """Pinhole projection of world point X through pose (angle-axis, t)."""
+    """Projection of world point X through pose (angle-axis, t).
+
+    intr is (4,) pinhole or (8,) pinhole + Brown-Conrady distortion
+    ``x_d = x (1 + k1 r^2 + k2 r^4) + (r^2 I + 2 x x^T) p`` (the same
+    convention as core.cameras.BrownConrady.distort)."""
     w, t = pose6[:3], pose6[3:]
     R = lie.so3_exp(w)
     Xc = R @ X + t
     z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
     x = Xc[0] / z
     y = Xc[1] / z
+    if intr.shape[0] >= 8:
+        k1, k2, p1, p2 = intr[4], intr[5], intr[6], intr[7]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * k2)
+        tx = r2 * p1 + 2.0 * x * (x * p1 + y * p2)
+        ty = r2 * p2 + 2.0 * y * (x * p1 + y * p2)
+        x, y = x * radial + tx, y * radial + ty
     return jnp.stack([intr[0] * x + intr[2], intr[1] * y + intr[3]]), Xc[2]
 
 
@@ -118,36 +140,54 @@ def ba_cost(p: BAProblem, huber_delta: float = 4.0,
     return jnp.sum(jnp.where(p.obs_mask, c, 0.0))
 
 
+def _pose_free(p: BAProblem):
+    """(C, 6) float mask of FREE pose components (pose_fixed may be (C,)
+    whole-camera booleans or (C, 6) per-component booleans)."""
+    pf = p.pose_fixed
+    if pf.ndim == 1:
+        pf = jnp.broadcast_to(pf[:, None], (pf.shape[0], 6))
+    return (~pf).astype(p.poses.dtype)
+
+
 def _jacobians(p: BAProblem, delta: float, cutoff: float = jnp.inf):
     """Per-observation weighted residuals and Jacobian blocks.
 
-    Returns r (O, 2), Jc (O, 2, 6), Jp (O, 2, 3) — all Huber-weighted and
-    masked (fixed params get zero columns).
+    Returns r (O, 2), Jc (O, 2, 6), Jp (O, 2, 3), Ji (O, 2, Ki) or None —
+    all Huber-weighted and masked (fixed params get zero columns).
     """
+    want_intr = p.intr_free is not None
 
-    def res_one(pose6, X, uv):
-        pred, _ = _project(p.intrinsics, pose6, X)
+    def res_one(intr, pose6, X, uv):
+        pred, _ = _project(intr, pose6, X)
         return pred - uv
 
     def one(ci, pi, uv):
         pose6 = p.poses[ci]
         X = p.points[pi]
-        r = res_one(pose6, X, uv)
-        Jc = jax.jacfwd(res_one, argnums=0)(pose6, X, uv)
-        Jp = jax.jacfwd(res_one, argnums=1)(pose6, X, uv)
-        return r, Jc, Jp
+        r = res_one(p.intrinsics, pose6, X, uv)
+        Jc = jax.jacfwd(res_one, argnums=1)(p.intrinsics, pose6, X, uv)
+        Jp = jax.jacfwd(res_one, argnums=2)(p.intrinsics, pose6, X, uv)
+        if want_intr:
+            Ji = jax.jacfwd(res_one, argnums=0)(p.intrinsics, pose6, X, uv)
+            return r, Jc, Jp, Ji
+        return r, Jc, Jp, jnp.zeros(())
 
-    r, Jc, Jp = jax.vmap(one)(p.cam_idx, p.pt_idx, p.uv)
+    r, Jc, Jp, Ji = jax.vmap(one)(p.cam_idx, p.pt_idx, p.uv)
     w = _huber_weights(r, delta, p.obs_mask, cutoff)
     r = r * w[:, None]
     Jc = Jc * w[:, None, None]
     Jp = Jp * w[:, None, None]
-    # Zero out columns of fixed cameras / points.
-    cam_free = (~p.pose_fixed)[p.cam_idx].astype(r.dtype)
+    # Zero out columns of fixed camera components / points.
+    cam_free = _pose_free(p)[p.cam_idx]                      # (O, 6)
     pt_free = (~p.point_fixed)[p.pt_idx].astype(r.dtype)
-    Jc = Jc * cam_free[:, None, None]
+    Jc = Jc * cam_free[:, None, :]
     Jp = Jp * pt_free[:, None, None]
-    return r, Jc, Jp
+    if want_intr:
+        Ji = Ji * w[:, None, None]
+        Ji = Ji * p.intr_free.astype(r.dtype)[None, None, :]
+    else:
+        Ji = None
+    return r, Jc, Jp, Ji
 
 
 def _gauss_newton_blocks(p: BAProblem, r, Jc, Jp):
@@ -214,32 +254,115 @@ def _pcg(matvec, b, Minv_blocks, iters: int):
     return x
 
 
-def _solve_lm(p: BAProblem, r, Jc, Jp, lam, opts: BAOptions):
-    """One damped normal-equation solve. Returns (dpose (C,6), dpoint (P,3))."""
+def _tree_dot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in
+               zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+
+def _pcg_tree(matvec, b, precond, iters: int):
+    """Preconditioned CG over an arbitrary pytree of unknowns."""
+    zero = jax.tree_util.tree_map(jnp.zeros_like, b)
+    x = zero
+    r = b
+    z = precond(r)
+    d = z
+    rz = _tree_dot(r, z)
+    axpy = lambda a, u, v: jax.tree_util.tree_map(
+        lambda uu, vv: uu + a * vv, u, v)
+
+    def body(_, state):
+        x, r, d, rz = state
+        Ad = matvec(d)
+        dAd = _tree_dot(d, Ad)
+        alpha = rz / jnp.where(jnp.abs(dAd) < 1e-20, 1e-20, dAd)
+        x2 = axpy(alpha, x, d)
+        r2 = axpy(-alpha, r, Ad)
+        z2 = precond(r2)
+        rz2 = _tree_dot(r2, z2)
+        beta = rz2 / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        d2 = axpy(beta, z2, d)
+        keep = rz2 < 1e-30
+        sel = lambda a, b2: jax.tree_util.tree_map(
+            lambda u, v: jnp.where(keep, u, v), a, b2)
+        return sel(x, x2), sel(r, r2), sel(d, d2), jnp.where(keep, rz, rz2)
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, d, rz))
+    return x
+
+
+def _solve_lm(p: BAProblem, r, Jc, Jp, Ji, lam, opts: BAOptions):
+    """One damped normal-equation solve.
+
+    Returns (dpose (C,6), dpoint (P,3), dintr (Ki,) or None). When
+    ``p.intr_free`` is set, the shared intrinsics vector joins the reduced
+    camera system as one extra global block (its Hessian rows/columns are
+    accumulated over ALL observations), so the matrix-free Schur + PCG
+    machinery covers self-calibrating BA without a dense assemble."""
     C = p.poses.shape[0]
     P = p.points.shape[0]
     U, V, Wo, bc, bp = _gauss_newton_blocks(p, r, Jc, Jp)
     U_d = _damp(U, lam)
     V_d = _damp(V, lam)
     Vinv = _inv_blocks(V_d)
-
-    # Reduced RHS: bc - W V^-1 bp.
-    Vb = jnp.einsum("pab,pb->pa", Vinv, bp)
-    Wv = jnp.einsum("oab,ob->oa", Wo, Vb[p.pt_idx])
-    rhs = bc - jax.ops.segment_sum(Wv, p.cam_idx, C)
-
-    matvec = lambda x: _schur_matvec(x, U_d, Vinv, Wo, p.cam_idx, p.pt_idx, C, P)
     Uinv = _inv_blocks(U_d)
-    dc = _pcg(matvec, rhs, Uinv, opts.cg_iters)
+    cam_idx, pt_idx = p.cam_idx, p.pt_idx
+
+    if Ji is None:
+        # Classic path: cameras only in the reduced system.
+        Vb = jnp.einsum("pab,pb->pa", Vinv, bp)
+        Wv = jnp.einsum("oab,ob->oa", Wo, Vb[pt_idx])
+        rhs = bc - jax.ops.segment_sum(Wv, cam_idx, C)
+        matvec = lambda x: _schur_matvec(x, U_d, Vinv, Wo, cam_idx, pt_idx, C, P)
+        dc = _pcg(matvec, rhs, Uinv, opts.cg_iters)
+        WTdc = jnp.einsum("oab,oa->ob", Wo, dc[cam_idx])
+        di = None
+    else:
+        Ki = p.intrinsics.shape[0]
+        Wi = jnp.einsum("oia,oib->oab", Ji, Jp)               # (O, Ki, 3)
+        U_ii = jnp.sum(jnp.einsum("oia,oib->oab", Ji, Ji), axis=0)
+        U_ci = jax.ops.segment_sum(jnp.einsum("oia,oib->oab", Jc, Ji),
+                                   cam_idx, C)                # (C, 6, Ki)
+        bi = -jnp.sum(jnp.einsum("oia,oi->oa", Ji, r), axis=0)
+        U_ii_d = _damp(U_ii, lam)
+        U_ii_inv = jnp.linalg.inv(U_ii_d)
+
+        Vb = jnp.einsum("pab,pb->pa", Vinv, bp)
+        rhs_c = bc - jax.ops.segment_sum(
+            jnp.einsum("oab,ob->oa", Wo, Vb[pt_idx]), cam_idx, C)
+        rhs_i = bi - jnp.sum(jnp.einsum("oab,ob->oa", Wi, Vb[pt_idx]), axis=0)
+
+        def matvec(x):
+            xc, xi = x
+            tp = (jnp.einsum("oab,oa->ob", Wo, xc[cam_idx])
+                  + jnp.einsum("oab,oa->ob", Wi, jnp.broadcast_to(
+                      xi, (Wi.shape[0], Ki))))
+            yp = jnp.einsum("pab,pb->pa", Vinv,
+                            jax.ops.segment_sum(tp, pt_idx, P))
+            out_c = (jnp.einsum("cab,cb->ca", U_d, xc)
+                     + jnp.einsum("cak,k->ca", U_ci, xi)
+                     - jax.ops.segment_sum(
+                         jnp.einsum("oab,ob->oa", Wo, yp[pt_idx]), cam_idx, C))
+            out_i = (jnp.einsum("cak,ca->k", U_ci, xc)
+                     + U_ii_d @ xi
+                     - jnp.sum(jnp.einsum("oab,ob->oa", Wi, yp[pt_idx]),
+                               axis=0))
+            return out_c, out_i
+
+        precond = lambda v: (jnp.einsum("cab,cb->ca", Uinv, v[0]),
+                             U_ii_inv @ v[1])
+        dc, di = _pcg_tree(matvec, (rhs_c, rhs_i), precond, opts.cg_iters)
+        di = jnp.where(p.intr_free, di, 0.0)
+        WTdc = (jnp.einsum("oab,oa->ob", Wo, dc[cam_idx])
+                + jnp.einsum("oab,oa->ob", Wi, jnp.broadcast_to(
+                    di, (Wi.shape[0], Ki))))
 
     # Back-substitute points: dp = V^-1 (bp - W^T dc).
-    WTdc = jnp.einsum("oab,oa->ob", Wo, dc[p.cam_idx])
-    WTdc_p = jax.ops.segment_sum(WTdc, p.pt_idx, P)
+    WTdc_p = jax.ops.segment_sum(WTdc, pt_idx, P)
     dp = jnp.einsum("pab,pb->pa", Vinv, bp - WTdc_p)
     # Freeze masks.
-    dc = jnp.where(p.pose_fixed[:, None], 0.0, dc)
+    dc = dc * _pose_free(p)
     dp = jnp.where(p.point_fixed[:, None], 0.0, dp)
-    return dc, dp
+    return dc, dp, di
 
 
 @functools.partial(jax.jit, static_argnames=("opts",))
@@ -248,14 +371,17 @@ def bundle_adjust(p: BAProblem, opts: BAOptions = BAOptions()):
 
     def step(carry, _):
         prob, lam, cost = carry
-        r, Jc, Jp = _jacobians(prob, opts.huber_delta, opts.outlier_cutoff)
-        dc, dp = _solve_lm(prob, r, Jc, Jp, lam, opts)
+        r, Jc, Jp, Ji = _jacobians(prob, opts.huber_delta, opts.outlier_cutoff)
+        dc, dp, di = _solve_lm(prob, r, Jc, Jp, Ji, lam, opts)
         cand = prob._replace(poses=prob.poses + dc, points=prob.points + dp)
+        if di is not None:
+            cand = cand._replace(intrinsics=prob.intrinsics + di)
         new_cost = ba_cost(cand, opts.huber_delta, opts.outlier_cutoff)
         accept = new_cost < cost
         prob2 = prob._replace(
             poses=jnp.where(accept, cand.poses, prob.poses),
-            points=jnp.where(accept, cand.points, prob.points))
+            points=jnp.where(accept, cand.points, prob.points),
+            intrinsics=jnp.where(accept, cand.intrinsics, prob.intrinsics))
         lam2 = jnp.where(accept,
                          jnp.maximum(lam * opts.lambda_down, opts.lambda_min),
                          jnp.minimum(lam * opts.lambda_up, opts.lambda_max))

@@ -32,12 +32,23 @@ from sara_tpu.image.pyramid import PyramidParams, gaussian_pyramid, dog_pyramid
 
 @dataclass(frozen=True)
 class SIFTParams:
-    """Static configuration for the SIFT pipeline (reference defaults)."""
+    """Static configuration for the SIFT pipeline (reference defaults).
 
-    pyramid: PyramidParams = field(default_factory=PyramidParams)
-    dog: DoGParams = field(default_factory=DoGParams)
+    The standalone detector defaults to the -1 upsampled first octave like
+    the reference (`compute_sift_keypoints` default `ImagePyramidParams()`,
+    reference: FeatureDetectors/SIFT.hpp:26-33, ImageProcessing/
+    ImagePyramid.hpp:33-49) — measured on the bundled 480x640 pair this
+    detects 1.06x OpenCV-SIFT's keypoints at equal-or-better repeatability
+    (scripts/eval_detection_quality.py). The SfM/VO pipeline overrides to
+    first_octave=0 exactly as the reference does
+    (SfM/BuildingBlocks/FeatureParams.hpp:10, `ImagePyramidParams(0)`).
+    """
+
+    pyramid: PyramidParams = field(
+        default_factory=lambda: PyramidParams(first_octave=-1))
+    dog: DoGParams = field(default_factory=lambda: DoGParams(capacity=3072))
     max_orientations: int = 2
-    total_capacity: int = 4096
+    total_capacity: int = 6144
     descriptor_bilinear: bool = False  # nearest sampling: 4x fewer gathers,
                                        # ~1.4x faster frontend; the 16x16
                                        # grid oversamples the 4x4 bins so

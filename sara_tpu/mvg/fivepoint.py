@@ -78,6 +78,11 @@ assert np.linalg.cond(_VAND) < 1e6
 _ZDEG = np.array([c for (_, _, c) in _XYZ_MONOMIALS])
 _XYCOL = np.array([_XY_MONOMIALS.index((a, b)) for (a, b, _) in _XYZ_MONOMIALS])
 
+# Second start vector for the null-space inverse iteration (fixed random
+# unit direction, independent of the all-ones first start).
+_START2 = _rs.normal(size=10)
+_START2 /= np.linalg.norm(_START2)
+
 # Fixed random orthogonal basis remixes (first = identity).
 _QS = [np.eye(4)]
 for _i in range(_N_REMIX - 1):
@@ -138,27 +143,14 @@ def _coefficient_matrices(X, Y, Z, W):
     return C  # (4, 10, 10): C[k] multiplies z^k
 
 
-def _det_trig(C, s, c):
-    """Sign-faithful det of the homogenized pencil at (s, c) = sin/cos(phi).
-
-    Rows are normalized before the determinant: dividing each row by its
-    (positive) norm preserves the sign while keeping the value O(1).
-    """
-    M = (C[0] * (c ** 3) + C[1] * (c * c * s) + C[2] * (c * s * s)
-         + C[3] * (s ** 3))
-    norms = jnp.linalg.norm(M, axis=-1, keepdims=True)
-    M = M / jnp.maximum(norms, 1e-30)
-    return jnp.linalg.det(M)
-
-
 def _resultant_coeffs(C):
     """Fourier coefficients of g(phi) = det of the homogenized pencil.
 
     Rows are scaled by a phi-INDEPENDENT factor (the norm of the stacked
     coefficient rows) so the polynomial structure survives while entries
-    stay O(1) — the per-phi row normalization of ``_det_trig`` is not a
-    polynomial and cannot be interpolated. Exact for the degree-30 form;
-    31 determinant evaluations total.
+    stay O(1) — a per-phi row normalization would not be a polynomial and
+    could not be interpolated. Exact for the degree-30 form; 31 determinant
+    evaluations total.
     """
     dtype = C.dtype
     rown = jnp.linalg.norm(
@@ -260,11 +252,20 @@ def _solve_basis(basis4):
     # 5-point problems), far above the null eigenvalue at a bisected root,
     # and large enough to keep the f32 LU well-posed.
     A = A + 1e-6 * jnp.eye(10, dtype=A.dtype)
-    m = jnp.ones(Cz.shape[:-2] + (10,), Cz.dtype) / jnp.sqrt(10.0)
+    # Two independent start vectors share one LU factorization (stacked
+    # RHS): a single fixed start can be nearly orthogonal to the null
+    # vector and silently fail the resid<1e-3 validity filter below.
+    m0 = jnp.ones(Cz.shape[:-2] + (10,), Cz.dtype) / jnp.sqrt(10.0)
+    m1 = jnp.broadcast_to(jnp.asarray(_START2, Cz.dtype), m0.shape)
+    M2 = jnp.stack([m0, m1], axis=-1)              # (..., 10, 2)
     for _ in range(2):
-        m = jnp.linalg.solve(A, m[..., None])[..., 0]
-        m = m / jnp.maximum(
-            jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-30)
+        M2 = jnp.linalg.solve(A, M2)
+        M2 = M2 / jnp.maximum(
+            jnp.linalg.norm(M2, axis=-2, keepdims=True), 1e-30)
+    # Pick per root the start whose iterate is closest to the null space.
+    r2 = jnp.linalg.norm(Czn @ M2, axis=-2)        # (..., 2)
+    m = jnp.take_along_axis(
+        M2, jnp.argmin(r2, axis=-1)[..., None, None], axis=-1)[..., 0]
     w_m = m[:, 9]
     w_safe = jnp.where(jnp.abs(w_m) < 1e-10, 1e-10, w_m)
     x = m[:, 7] / w_safe

@@ -78,6 +78,8 @@ def shard_ba_problem(prob: BAProblem, mesh: Mesh, axis: str = "shard") -> BAProb
         obs_mask=put(prob.obs_mask, sharded),
         pose_fixed=put(prob.pose_fixed, repl),
         point_fixed=put(prob.point_fixed, sharded),
+        intr_free=(None if prob.intr_free is None
+                   else put(prob.intr_free, repl)),
     )
 
 

@@ -41,12 +41,28 @@ from sara_tpu.sfm.pose_graph import CameraPoseGraph
 from sara_tpu.sfm.tracker import FeatureTracker
 
 
+def _PyramidParams0():
+    from sara_tpu.image.pyramid import PyramidParams
+
+    return PyramidParams(first_octave=0)
+
+
+def _DoGParams1024():
+    from sara_tpu.features.dog import DoGParams
+
+    return DoGParams(capacity=1024)
+
+
 @dataclass(frozen=True)
 class OdometryConfig:
     """Pipeline knobs (defaults mirror the reference, FeatureParams.hpp:8-14,
     RelativePoseEstimator.hpp:18-20, CameraPoseEstimator.hpp:41-49)."""
 
-    sift: SIFTParams = field(default_factory=SIFTParams)
+    # The reference SfM pipeline detects WITHOUT the -1 upsampled octave
+    # (FeatureParams.hpp:10 `ImagePyramidParams(0)`) — 4x cheaper per frame;
+    # the standalone-detector default (SIFTParams()) is first_octave=-1.
+    sift: SIFTParams = field(default_factory=lambda: SIFTParams(
+        pyramid=_PyramidParams0(), dog=_DoGParams1024(), total_capacity=4096))
     match_ratio: float = 0.8
     rel_pose_samples: int = 1000
     rel_pose_threshold_px: float = 4.0
@@ -437,12 +453,22 @@ class OdometryPipeline:
         P = _bucket(len(pt_ids), 64)
         O = _bucket(len(obs_cam), 256)
         poses = self.pose_graph.poses_se3()[start:]
-        pose_fixed = np.zeros(C, bool)
+        # Monocular gauge (7 dof: similarity): fixing the first pose removes
+        # 6; the global scale must be pinned explicitly or it drifts
+        # window-to-window. Per-component freeze masks (ba.core accepts a
+        # (C, 6) pose_fixed).
+        pose_fixed = np.zeros((C, 6), bool)
         pose_fixed[0] = True
         if start == 0 and C >= 2:
-            # Freeze the second camera's z-translation to pin the global
-            # scale (monocular gauge).
-            pass
+            # Freeze the second camera's largest translation component
+            # (not a fixed axis: the dominant motion direction is scene-
+            # dependent and a zero component would not pin scale).
+            t1 = poses[1, 3:]
+            pose_fixed[1, 3 + int(np.argmax(np.abs(t1)))] = True
+        elif start > 0 and C >= 3:
+            # Sliding window: anchor scale to the previous estimate by
+            # freezing the second window pose entirely.
+            pose_fixed[1] = True
 
         intr = np.array([self.K[0, 0], self.K[1, 1],
                          self.K[0, 2], self.K[1, 2]])

@@ -43,12 +43,10 @@ def make_frames(n):
 def run(pipe, imgs, batched):
     t0 = time.perf_counter()
     if batched:
-        ok = pipe.process_frames(imgs, list(range(len(imgs))))
-        acc = sum(bool(o) for o in ok)
+        ok = [bool(o) for o in pipe.process_frames(imgs, list(range(len(imgs))))]
     else:
-        acc = sum(bool(pipe.process_frame(im, f))
-                  for f, im in enumerate(imgs))
-    return acc, time.perf_counter() - t0
+        ok = [bool(pipe.process_frame(im, f)) for f, im in enumerate(imgs)]
+    return ok, time.perf_counter() - t0
 
 
 def main():
@@ -89,8 +87,11 @@ def main():
         # the measured pass.
         run(pipe, imgs, batched)
         pipe = OdometryPipeline(K, cfg(args.batch))
-        acc, dt = run(pipe, imgs, batched)
-        err = ate_rmse(pipe.pose_graph.trajectory(), centers[:acc])
+        ok, dt = run(pipe, imgs, batched)
+        acc = sum(ok)
+        # Pair accepted poses with the centers of the frames they came from.
+        err = ate_rmse(pipe.pose_graph.trajectory(),
+                       centers[np.flatnonzero(ok)])
         print(f"{label:10s}: {acc}/{args.frames} accepted, "
               f"{dt / max(acc, 1) * 1e3:.0f} ms/frame, ATE {err:.4f}")
 

@@ -54,15 +54,17 @@ def main():
         if args.loop else None
 
     t0 = time.perf_counter()
-    accepted = 0
+    ok = []
     for f, kp in enumerate(kps):
-        if pipe.process_keypoints(kp, f):
-            accepted += 1
-            if closer is not None:
-                closer.add_frame(kp)
+        ok.append(bool(pipe.process_keypoints(kp, f)))
+        if ok[-1] and closer is not None:
+            closer.add_frame(kp)
     elapsed = time.perf_counter() - t0
+    accepted = sum(ok)
     traj = pipe.pose_graph.trajectory()
-    err = ate_rmse(traj, centers_gt[:accepted])
+    # Pair each accepted pose with the ground truth of its own frame.
+    gt_sel = centers_gt[np.flatnonzero(ok)]
+    err = ate_rmse(traj, gt_sel)
     print(f"frames accepted: {accepted}/{args.frames}")
     print(f"throughput: {accepted/elapsed:.2f} frames/s "
           f"({elapsed/max(accepted,1)*1e3:.0f} ms/frame incl. host)")
@@ -71,7 +73,7 @@ def main():
 
     if closer is not None:
         closed = closer.close(pipe, accepted - 1)
-        err2 = ate_rmse(pipe.pose_graph.trajectory(), centers_gt[:accepted])
+        err2 = ate_rmse(pipe.pose_graph.trajectory(), gt_sel)
         print(f"loop closed: {closed}; ATE after: {err2:.4f}")
 
 

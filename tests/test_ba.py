@@ -21,10 +21,19 @@ def _make_ba_problem(n_cams=4, n_pts=60, noise=0.5, perturb=True, seed=0,
 
     poses_gt = []
     for c in range(n_cams):
-        # Cameras on an arc looking at the cube.
+        # Cameras on an arc looking at the cube, with small random
+        # pitch/roll (pure-yaw rigs leave fy unobservable in
+        # self-calibrating BA: an anamorphic y-scaling of the scene
+        # compensates it exactly).
         ang = 0.15 * (c - (n_cams - 1) / 2)
         R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
                       [-np.sin(ang), 0, np.cos(ang)]])
+        px, rz = rs.normal(scale=0.08, size=2)
+        Rx = np.array([[1, 0, 0], [0, np.cos(px), -np.sin(px)],
+                       [0, np.sin(px), np.cos(px)]])
+        Rz = np.array([[np.cos(rz), -np.sin(rz), 0],
+                       [np.sin(rz), np.cos(rz), 0], [0, 0, 1]])
+        R = R @ Rx @ Rz
         t = np.array([-1.5 * ang * 8.0 * 0.15, 0.0, 0.0]) + rs.normal(scale=0.02, size=3)
         poses_gt.append((R, t))
 
@@ -113,11 +122,104 @@ def test_ba_masked_obs_ignored():
     # Corrupt half the observations but mask them out: result must still be
     # near-exact.
     n = prob.uv.shape[0]
+    # Random half (masking a contiguous camera-ordered prefix could leave a
+    # whole camera unconstrained).
     bad = np.zeros(n, bool)
-    bad[: n // 2] = True
+    bad[np.random.RandomState(7).choice(n, n // 2, replace=False)] = True
     uv = np.asarray(prob.uv).copy()
     uv[bad] += 500.0
     prob2 = prob._replace(uv=jnp.asarray(uv),
                           obs_mask=jnp.asarray(~bad))
     out, info = bundle_adjust(prob2, BAOptions(max_iters=30))
     assert float(info["final_cost"]) < 1e-4
+
+
+def test_ba_component_freeze_pins_scale():
+    """A (C, 6) pose_fixed mask freezes individual components: the second
+    camera's largest translation component must not move (monocular gauge,
+    cf. the odometry windowed-BA gauge)."""
+    prob, *_ = _make_ba_problem()
+    C = prob.poses.shape[0]
+    pf = np.zeros((C, 6), bool)
+    pf[0] = True
+    comp = 3 + int(np.argmax(np.abs(np.asarray(prob.poses)[1, 3:])))
+    pf[1, comp] = True
+    prob2 = prob._replace(pose_fixed=jnp.asarray(pf))
+    out, info = bundle_adjust(prob2, BAOptions(max_iters=10))
+    assert float(info["final_cost"]) < 0.9 * float(info["initial_cost"])
+    np.testing.assert_array_equal(np.asarray(out.poses[0]),
+                                  np.asarray(prob.poses[0]))
+    assert float(out.poses[1, comp]) == float(prob.poses[1, comp])
+    # Other components of pose 1 did move.
+    assert not np.allclose(np.asarray(out.poses[1]), np.asarray(prob.poses[1]))
+
+
+def test_ba_recovers_intrinsics():
+    """Self-calibrating BA (reference packs intrinsics as parameters,
+    BundleAdjuster.cpp:162-210): a 5% focal/center perturbation must be
+    recovered when intr_free opts the intrinsics into the solve."""
+    prob, poses_gt, X_gt = _make_ba_problem(noise=0.0, n_cams=6, n_pts=80)
+    intr_gt = np.asarray(prob.intrinsics)
+    intr0 = intr_gt * np.array([1.05, 1.05, 0.97, 1.04])
+    prob2 = prob._replace(intrinsics=jnp.asarray(intr0),
+                          intr_free=jnp.ones(4, bool))
+    out, info = bundle_adjust(prob2, BAOptions(max_iters=60))
+    rec = np.asarray(out.intrinsics)
+    assert float(info["final_cost"]) < 1e-3 * float(info["initial_cost"])
+    np.testing.assert_allclose(rec[:2], intr_gt[:2], rtol=0.005)
+    np.testing.assert_allclose(rec[2:], intr_gt[2:], atol=5.0)
+
+
+def test_ba_intr_free_mask_respected():
+    prob, *_ = _make_ba_problem(noise=0.0)
+    intr0 = np.asarray(prob.intrinsics) * np.array([1.03, 1.03, 1.0, 1.0])
+    free = np.array([True, True, False, False])
+    prob2 = prob._replace(intrinsics=jnp.asarray(intr0),
+                          intr_free=jnp.asarray(free))
+    out, _ = bundle_adjust(prob2, BAOptions(max_iters=40))
+    rec = np.asarray(out.intrinsics)
+    # Frozen center must be bit-identical; focals must have moved.
+    np.testing.assert_array_equal(rec[2:], intr0[2:])
+    assert abs(rec[0] - intr0[0]) > 1.0
+
+
+def test_ba_brown_conrady_residual():
+    """(8,)-intrinsics problems project through the Brown-Conrady model:
+    observations generated WITH distortion must reach ~zero cost only when
+    the distortion coefficients are supplied."""
+    from sara_tpu.ba.core import ba_cost as _cost
+
+    prob, poses_gt, X_gt = _make_ba_problem(noise=0.0, perturb=False)
+    dist = np.array([-0.12, 0.03, 1e-3, -5e-4])
+    intr8 = np.concatenate([np.asarray(prob.intrinsics), dist])
+
+    # Re-render the observations through the distorted model.
+    from sara_tpu.ba.core import project_obs
+
+    p8 = prob._replace(intrinsics=jnp.asarray(intr8))
+    uv_dist, _ = project_obs(p8)
+    p8 = p8._replace(uv=uv_dist)
+    assert float(_cost(p8)) < 1e-6
+    # The pinhole-only model on the same uv has a large residual.
+    p4 = prob._replace(uv=uv_dist)
+    assert float(_cost(p4)) > 1e2
+
+
+def test_ba_optimizes_distortion():
+    """Perturbed k1/k2 recovered by the self-calibrating solve."""
+    prob, *_ = _make_ba_problem(noise=0.0, n_cams=6, n_pts=80)
+    dist = np.array([-0.12, 0.03, 0.0, 0.0])
+    intr8 = np.concatenate([np.asarray(prob.intrinsics), dist])
+    from sara_tpu.ba.core import project_obs
+
+    gt8 = prob._replace(intrinsics=jnp.asarray(intr8))
+    uv_dist, _ = project_obs(gt8)
+    # Solve from zero distortion with k1, k2 free.
+    intr0 = np.concatenate([np.asarray(prob.intrinsics), np.zeros(4)])
+    free = np.array([False, False, False, False, True, True, False, False])
+    p = prob._replace(intrinsics=jnp.asarray(intr0), uv=uv_dist,
+                      intr_free=jnp.asarray(free))
+    out, info = bundle_adjust(p, BAOptions(max_iters=60))
+    rec = np.asarray(out.intrinsics)
+    assert float(info["final_cost"]) < 1e-2 * float(info["initial_cost"])
+    np.testing.assert_allclose(rec[4:6], dist[:2], atol=0.02)

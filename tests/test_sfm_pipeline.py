@@ -21,6 +21,9 @@ def _make_sequence(n_frames=10, n_points=300, noise=0.3, seed=0, capacity=512):
     """Cameras orbiting a point cloud; returns (keypoint sets, gt centers)."""
     rs = np.random.RandomState(seed)
     X = rs.uniform(-4, 4, (n_points, 3)) + np.array([0, 0, 12.0])
+    # Spread points along the forward path so long sequences (the camera
+    # advances 0.5 units/frame) never run out of visible scene.
+    X[:, 2] = rs.uniform(8.0, 12.0 + 0.5 * n_frames, n_points)
     desc = rs.normal(size=(n_points, 128))
     desc /= np.linalg.norm(desc, axis=1, keepdims=True)
     K = default_K()
@@ -28,10 +31,12 @@ def _make_sequence(n_frames=10, n_points=300, noise=0.3, seed=0, capacity=512):
     kps = []
     centers = []
     for f in range(n_frames):
-        ang = 0.04 * f
+        # Bounded yaw sweep: an unboundedly growing yaw turns the camera
+        # away from the (forward-distributed) scene on long sequences.
+        ang = 0.35 * np.sin(0.1 * f)
         R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
                       [-np.sin(ang), 0, np.cos(ang)]])
-        c = np.array([2.0 * np.sin(ang * 2.5), 0.1 * f, 0.5 * f])
+        c = np.array([2.0 * np.sin(0.1 * f), 0.1 * f, 0.5 * f])
         t = -R @ c
         centers.append(c)
         Xc = X @ R.T + t
