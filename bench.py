@@ -54,6 +54,36 @@ def load_pair(h=480, w=640):
     return a, b
 
 
+def quality_vs_opencv(img):
+    """Detection/matching quality on a known-homography warp of ``img``:
+    ours (on the current JAX backend) vs OpenCV SIFT on the same task.
+    Returns dict of ratios (ours/opencv); >= 1.0 means we beat OpenCV.
+    This is the round-1-verdict quality gate: throughput alone is not
+    "matching-or-beating" (a fast detector at 1/3 recall fails)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import eval_detection_quality as q
+
+    h, w = img.shape
+    H = q.make_warp(h, w)
+    warped = q.warp_image(img, H)
+    xy_cv_a, xy_cv_b, pairs_cv, _ = q.run_opencv(img, warped)
+    rep_cv, _ = q.repeatability(xy_cv_a, xy_cv_b, H, h, w)
+    cor_cv, _ = q.match_quality(xy_cv_a, xy_cv_b, pairs_cv, H)
+    xy_a, xy_b, pairs, _ = q.run_ours(img, warped, -1, 6144, 3072)
+    rep, _ = q.repeatability(xy_a, xy_b, H, h, w)
+    cor, _ = q.match_quality(xy_a, xy_b, pairs, H)
+    out = {
+        "kp_ratio": round(len(xy_a) / max(len(xy_cv_a), 1), 3),
+        "correct_match_ratio": round(cor / max(cor_cv, 1), 3),
+        "repeatability": round(rep, 3),
+        "repeatability_opencv": round(rep_cv, 3),
+    }
+    log(f"quality: ours kp {len(xy_a)} rep {rep:.3f} correct {cor} | "
+        f"opencv kp {len(xy_cv_a)} rep {rep_cv:.3f} correct {cor_cv}")
+    return out
+
+
 def bench_ours(a, b):
     import jax
     import jax.numpy as jnp
@@ -137,12 +167,18 @@ def main():
     except Exception as e:
         log("opencv baseline failed:", e)
         cv_fps = float("nan")
+    try:
+        quality = quality_vs_opencv(a)
+    except Exception as e:
+        log("quality gate failed:", e)
+        quality = {}
     vs = ours_fps / cv_fps if cv_fps == cv_fps else 1.0
     print(json.dumps({
         "metric": "two_view_sift_detect_describe_match_throughput",
         "value": round(ours_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
+        **quality,
     }))
 
 

@@ -60,7 +60,14 @@ def main():
     centers = np.asarray(centers)
 
     t0 = time.perf_counter()
-    params = SIFTParams()
+    # Pipeline detector config (first_octave=0), like the reference SfM
+    # FeatureParams — the -1 upsampled octave of the standalone-detector
+    # default quadruples frontend cost for little SfM gain.
+    from sara_tpu.features.dog import DoGParams
+    from sara_tpu.image.pyramid import PyramidParams
+
+    params = SIFTParams(pyramid=PyramidParams(first_octave=0),
+                        dog=DoGParams(capacity=1024), total_capacity=4096)
     kps = [compute_sift_keypoints(jnp.asarray(im), params) for im in imgs]
     print(f"SIFT on {args.views} views: "
           f"{[int(k.count()) for k in kps]} keypoints "

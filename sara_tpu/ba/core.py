@@ -211,7 +211,12 @@ def _damp(M, lam):
 
 
 def _inv_blocks(M):
-    return jnp.linalg.inv(M)
+    # Closed-form / batch-last small inverses: jnp.linalg.inv's batched LU
+    # pads each 3x3 point block to an (8, 128) tile — ~100x HBM inflation
+    # on the (P, 3, 3) V blocks of large problems.
+    from sara_tpu.ops.smallmat import batched_inv
+
+    return batched_inv(M)
 
 
 def _schur_matvec(x, U_d, Vinv, Wo, cam_idx, pt_idx, C, P):

@@ -49,7 +49,7 @@ def _dilate3(mask: jnp.ndarray) -> jnp.ndarray:
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("hysteresis_iters",))
+@functools.partial(jax.jit, static_argnames=("sigma", "hysteresis_iters"))
 def canny(image: jnp.ndarray, low: float = 0.05, high: float = 0.15,
           sigma: float = 1.4, hysteresis_iters: int = 32):
     """Canny edge map of a (H, W) float image. Returns bool (H, W)."""

@@ -53,3 +53,38 @@ def load_matches_h5(path: str, group: str = "matches") -> Matches:
         g = f[group]
         return Matches(**{name: jnp.asarray(np.asarray(g[name]))
                           for name in Matches._fields})
+
+
+def save_two_view_geometry_h5(path: str, group: str = "two_view", *,
+                              E=None, F=None, R=None, t=None, X=None,
+                              inliers=None, cheirality=None, K1=None,
+                              K2=None):
+    """Serialize a two-view geometry estimate.
+
+    Mirrors the reference's HDF5 types for EssentialMatrix /
+    FundamentalMatrix / PinholeCameraDecomposition (K, R, t) and the
+    TwoViewGeometry record (cameras + triangulated points + cheirality)
+    (reference: MultiViewGeometry/HDF5.hpp:27-60,
+    Geometry/TwoViewGeometry.hpp). All fields are optional; present ones
+    are written as named datasets.
+    """
+    import h5py
+
+    fields = {"E": E, "F": F, "R": R, "t": t, "X": X, "inliers": inliers,
+              "cheirality": cheirality, "K1": K1, "K2": K2}
+    with h5py.File(path, "a") as f:
+        if group in f:
+            del f[group]
+        g = f.create_group(group)
+        for name, val in fields.items():
+            if val is not None:
+                g.create_dataset(name, data=np.asarray(val))
+
+
+def load_two_view_geometry_h5(path: str, group: str = "two_view") -> dict:
+    """Load a two-view geometry group as a dict of numpy arrays."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        g = f[group]
+        return {name: np.asarray(g[name]) for name in g}

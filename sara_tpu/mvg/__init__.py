@@ -20,6 +20,8 @@ from sara_tpu.mvg.two_view import (
     two_view_geometry,
 )
 from sara_tpu.mvg.fivepoint import five_point_essential
+from sara_tpu.mvg.degeneracy import (dominant_plane_ratio,
+                                     homography_from_epipolar)
 from sara_tpu.mvg.p3p import p3p_lambda_twist
 
 __all__ = [
@@ -28,5 +30,6 @@ __all__ = [
     "essential_to_motions", "triangulate_linear",
     "sampson_epipolar_distance", "symmetric_epipolar_distance",
     "symmetric_transfer_error", "two_view_geometry",
+    "dominant_plane_ratio", "homography_from_epipolar",
     "five_point_essential", "p3p_lambda_twist",
 ]

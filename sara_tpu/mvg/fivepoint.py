@@ -122,7 +122,9 @@ def _constraints(E: jnp.ndarray) -> jnp.ndarray:
 
     [det(E), vec(2 E E^T E - tr(E E^T) E)].
     """
-    det = jnp.linalg.det(E)
+    from sara_tpu.ops.smallmat import det3
+
+    det = det3(E)
     EEt = E @ jnp.swapaxes(E, -1, -2)
     tr = jnp.trace(EEt, axis1=-2, axis2=-1)
     M = 2.0 * EEt @ E - tr[..., None, None] * E
@@ -162,7 +164,12 @@ def _resultant_coeffs(C):
          + Cs[1][None] * (c * c * s)[:, None, None]
          + Cs[2][None] * (c * s * s)[:, None, None]
          + Cs[3][None] * (s ** 3)[:, None, None])
-    samples = jnp.linalg.det(M)                     # (31,)
+    # Batch-last Gauss-Jordan determinant: jnp.linalg.det's LU custom call
+    # pads each 10x10 to (8, 128) tiles (~20x HBM inflation; OOM'd the
+    # vmapped pair-chunk program) and is slower than VPU elimination.
+    from sara_tpu.ops.smallmat import batched_det
+
+    samples = batched_det(M)                        # (31,)
     return jnp.asarray(_B_NODES_INV, dtype) @ samples
 
 
@@ -257,9 +264,11 @@ def _solve_basis(basis4):
     # vector and silently fail the resid<1e-3 validity filter below.
     m0 = jnp.ones(Cz.shape[:-2] + (10,), Cz.dtype) / jnp.sqrt(10.0)
     m1 = jnp.broadcast_to(jnp.asarray(_START2, Cz.dtype), m0.shape)
+    from sara_tpu.ops.smallmat import batched_solve
+
     M2 = jnp.stack([m0, m1], axis=-1)              # (..., 10, 2)
     for _ in range(2):
-        M2 = jnp.linalg.solve(A, M2)
+        M2 = batched_solve(A, M2)
         M2 = M2 / jnp.maximum(
             jnp.linalg.norm(M2, axis=-2, keepdims=True), 1e-30)
     # Pick per root the start whose iterate is closest to the null space.
@@ -270,6 +279,36 @@ def _solve_basis(basis4):
     w_safe = jnp.where(jnp.abs(w_m) < 1e-10, 1e-10, w_m)
     x = m[:, 7] / w_safe
     y = m[:, 8] / w_safe
+
+    # Gauss-Newton polish of (x, y, z) on the 10 essential constraints.
+    # Near-singular pencils (the resultant can be tiny for EVERY z) make
+    # the inverse-iteration null vector lock onto a z-independent global
+    # near-kernel; measured on a Monte-Carlo oracle this lost ~18% of the
+    # true solutions. Three damped GN steps on the scale-invariant
+    # constraint residual recover them (and sharpen every other root).
+    def _resid_p(p):
+        Ep = p[0] * X + p[1] * Y + p[2] * Z + W
+        Ep = Ep / jnp.maximum(jnp.linalg.norm(Ep), 1e-12)
+        return _constraints(Ep)
+
+    def _gn_step(p):
+        r = _resid_p(p)
+        J = jax.jacfwd(_resid_p)(p)                   # (10, 3)
+        JtJ = J.T @ J + 1e-10 * jnp.eye(3, dtype=p.dtype)
+        g = J.T @ r
+        from sara_tpu.features.dog import _solve3
+
+        dp = -_solve3(JtJ, g)
+        p2 = p + jnp.clip(dp, -0.5, 0.5)
+        # Accept only improving steps (branch-free).
+        better = (jnp.linalg.norm(_resid_p(p2))
+                  < jnp.linalg.norm(r))
+        return jnp.where(better, p2, p)
+
+    p0 = jnp.stack([x, y, z], axis=-1)                # (R, 3)
+    polish = jax.vmap(lambda p: _gn_step(_gn_step(_gn_step(p))))
+    p_fin = polish(p0)
+    x, y, z = p_fin[:, 0], p_fin[:, 1], p_fin[:, 2]
 
     E = (x[:, None, None] * X + y[:, None, None] * Y
          + z[:, None, None] * Z + W)

@@ -90,8 +90,7 @@ def p3p_lambda_twist(Xw: jnp.ndarray, rays: jnp.ndarray):
     D2 = M13 * a23 - M23 * a13
 
     # Cubic det(D1 + g D2) = 0, coefficients by interpolation at 4 nodes.
-    def det3(M):
-        return jnp.linalg.det(M)
+    from sara_tpu.ops.smallmat import det3
 
     d0 = det3(D1)
     d1 = det3(D1 + D2)

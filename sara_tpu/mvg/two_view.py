@@ -29,10 +29,12 @@ def essential_to_motions(E: jnp.ndarray):
 
     Returns R (..., 4, 3, 3), t (..., 4, 3).
     """
+    from sara_tpu.ops.smallmat import det3
+
     U, S, Vt = jnp.linalg.svd(E)
-    # Ensure proper rotations.
-    det_u = jnp.linalg.det(U)
-    det_v = jnp.linalg.det(Vt)
+    # Ensure proper rotations (closed-form 3x3 det: no batched-LU call).
+    det_u = det3(U)
+    det_v = det3(Vt)
     U = U * det_u[..., None, None]
     Vt = Vt * det_v[..., None, None]
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)

@@ -168,6 +168,10 @@ class OdometryPipeline:
         self._prev_keypoints: Optional[Keypoints] = None
         self._frames_since_ba = 0
         self._key = jax.random.PRNGKey(0)
+        # Original pixels of the frame currently being integrated (for
+        # scene-point color sampling); only the newest frame's image is
+        # retained.
+        self._pending_image: Optional[np.ndarray] = None
 
     # -- helpers ------------------------------------------------------------
 
@@ -195,6 +199,7 @@ class OdometryPipeline:
         frames run undistort+detect+match+E-RANSAC as one fused device
         program (one dispatch round-trip instead of three).
         """
+        self._pending_image = np.asarray(image, np.float32)
         if len(self.pose_graph) == 0:
             kp = self._detect(image)
             return self.process_keypoints(kp, frame_index)
@@ -251,6 +256,7 @@ class OdometryPipeline:
             chain_ok = True
             for k in range(n):
                 sl = lambda t: jax.tree_util.tree_map(lambda x: x[k], t)
+                self._pending_image = chunk[k]
                 if chain_ok:
                     ok = self._integrate(sl(kps), sl(ms), sl(ress),
                                          Rs[k], ts[k], frame_indices[i + k])
@@ -313,6 +319,9 @@ class OdometryPipeline:
         fid = self.tracker.add_frame(kp.capacity, kp_host["response"])
         self.tracker.add_matches(prev_frame, fid, mi[inl], mj[inl])
         self.tracker.compute_tracks(self.cfg.min_track_length)
+        # Tracks may have merged: unify their scene points (barycenter)
+        # and re-key the map to the merged representatives.
+        self.point_cloud.propagate(self.tracker)
 
         # Absolute pose of the new frame.
         R_prev, t_prev = self.pose_graph.pose(prev_frame)
@@ -330,7 +339,11 @@ class OdometryPipeline:
         self.pose_graph.add_relative_pose(prev_frame, v_id, R_rel, t_rel,
                                           int(m_mask.sum()), int(inl.sum()))
 
-        self.frames.append({"kp": kp_host, "tracker_id": fid})
+        self.frames.append({"kp": kp_host, "tracker_id": fid,
+                            "image": self._pending_image})
+        self._pending_image = None
+        if len(self.frames) >= 2:
+            self.frames[-2]["image"] = None  # bound memory: newest only
         self._prev_keypoints = kp
 
         # Grow the map from fresh two-view tracks, then bundle adjust.
@@ -347,7 +360,9 @@ class OdometryPipeline:
     def _accept_first_frame(self, kp, kp_host, frame_index):
         self.pose_graph.add_absolute_pose(np.eye(3), np.zeros(3), frame_index)
         fid = self.tracker.add_frame(kp.capacity, kp_host["response"])
-        self.frames.append({"kp": kp_host, "tracker_id": fid})
+        self.frames.append({"kp": kp_host, "tracker_id": fid,
+                            "image": self._pending_image})
+        self._pending_image = None
         self._prev_keypoints = kp
 
     def _estimate_pnp(self, fid: int, kp_host):
@@ -356,8 +371,9 @@ class OdometryPipeline:
         feat_idx, track_ids = self.tracker.tracks_in_frame(fid)
         if len(feat_idx) == 0:
             return None
+        reps = self.tracker.rep_of_tracks(track_ids)
         Xs, uvs = [], []
-        for fi, ti in zip(feat_idx, track_ids):
+        for fi, ti in zip(feat_idx, reps):
             p = self.point_cloud.point_of_track(int(ti))
             if p is None:
                 continue
@@ -392,8 +408,11 @@ class OdometryPipeline:
         ga = self.tracker.global_id(self.frames[va]["tracker_id"], ia)
         gb = self.tracker.global_id(self.frames[vb]["tracker_id"], ib)
         ta = tracks[ga]
+        # Scene points key on STABLE representatives, not the
+        # generation-local dense track ids.
+        reps = self.tracker.rep_of_tracks(ta)
         need = [k for k in range(len(ia))
-                if ta[k] >= 0 and not self.point_cloud.track_has_point(int(ta[k]))]
+                if ta[k] >= 0 and not self.point_cloud.track_has_point(int(reps[k]))]
         if not need:
             return
         sel = np.asarray(need)
@@ -414,7 +433,20 @@ class OdometryPipeline:
         cheiral = (d1 > 0) & (d2 > 0)
         # Camera-a frame -> world: Xw = Ra^T (Xc - tA).
         Xw = (Ra.T @ (X.T - tA[:, None])).T
-        self.point_cloud.add_points(ta[sel][cheiral], Xw[cheiral])
+        # Colors: sample the newest frame's pixels at the observed keypoint
+        # (reference retrieve_scene_point_color projects the scene point
+        # into the frame, PointCloudGenerator.cpp:376-427 — equivalent up
+        # to reprojection error, with no extra projection pass).
+        colors = None
+        img = self.frames[vb].get("image")
+        if img is not None:
+            h_i, w_i = img.shape[:2]
+            xs = np.clip(np.round(xb[:, 0]).astype(int), 0, w_i - 1)
+            ys = np.clip(np.round(xb[:, 1]).astype(int), 0, h_i - 1)
+            px = img[ys, xs]
+            colors = (np.repeat(px[:, None], 3, axis=1) if px.ndim == 1
+                      else np.asarray(px)[:, :3])[cheiral]
+        self.point_cloud.add_points(reps[sel][cheiral], Xw[cheiral], colors)
 
     def _bundle_adjust(self):
         """Windowed BA over the latest poses (the reference adjusts the whole
@@ -431,20 +463,21 @@ class OdometryPipeline:
         pt_ids, pt_xyz = [], []
         pt_index = {}
         for tid, (frames_arr, feats_arr) in members.items():
-            p = self.point_cloud.point_of_track(int(tid))
+            rep = int(self.tracker.rep_of_tracks(np.asarray([tid]))[0])
+            p = self.point_cloud.point_of_track(rep)
             if p is None:
                 continue
             sel = [(f, ft) for f, ft in zip(frames_arr, feats_arr)
                    if f in cam_of_vertex]
             if len(sel) < 2:
                 continue
-            if tid not in pt_index:
-                pt_index[tid] = len(pt_ids)
-                pt_ids.append(tid)
+            if rep not in pt_index:
+                pt_index[rep] = len(pt_ids)
+                pt_ids.append(rep)
                 pt_xyz.append(p)
             for f, ft in sel:
                 obs_cam.append(cam_of_vertex[f])
-                obs_pt.append(pt_index[tid])
+                obs_pt.append(pt_index[rep])
                 obs_uv.append(self.frames[f]["kp"]["xy"][ft])
         if len(pt_ids) < 8 or len(obs_cam) < 24:
             return

@@ -19,6 +19,13 @@ DISTANCE_MAX = 1e3  # reference: PointCloudGenerator.cpp distance_max
 
 
 class PointCloudGenerator:
+    """Keys of ``scene_point_of_track`` are STABLE track representatives
+    (``FeatureTracker.rep_of_tracks``), not generation-local dense track
+    ids — dense ids are renumbered whenever components merge. Call
+    :meth:`propagate` after every ``compute_tracks`` to barycenter-merge
+    the scene points of fused tracks (reference:
+    PointCloudGenerator::propagate_scene_point_indices, .cpp:190-244)."""
+
     def __init__(self):
         self.points = np.zeros((0, 3))
         self.colors = np.zeros((0, 3))
@@ -60,6 +67,38 @@ class PointCloudGenerator:
             self.points = np.concatenate([self.points, np.asarray(new_pts)])
             self.colors = np.concatenate([self.colors, np.asarray(new_cols)])
         return kept
+
+    def propagate(self, tracker):
+        """Reference ``propagate_scene_point_indices``
+        (PointCloudGenerator.cpp:190-244): when feature tracks have merged
+        since scene points were created, several stored keys now resolve to
+        the same component — replace their scene points by the barycenter
+        (positions AND colors), re-key everything to the component's
+        current canonical representative, and keep the first point index.
+
+        Keys are stable representative gids from
+        :meth:`FeatureTracker.canonical_rep`.
+        """
+        if not self.scene_point_of_track or tracker.comp_min_gid is None:
+            return
+        keys = np.fromiter(self.scene_point_of_track.keys(), np.int64)
+        idxs = np.fromiter(self.scene_point_of_track.values(), np.int64)
+        canon = tracker.canonical_rep(keys)
+        new_map: Dict[int, int] = {}
+        order = np.argsort(canon, kind="stable")
+        canon_o, idxs_o = canon[order], idxs[order]
+        starts = np.nonzero(np.r_[True, canon_o[1:] != canon_o[:-1]])[0]
+        ends = np.r_[starts[1:], len(canon_o)]
+        for s, e in zip(starts, ends):
+            members = idxs_o[s:e]
+            first = int(members[0])
+            if e - s > 1:
+                bary = self.points[members].mean(axis=0)
+                col = self.colors[members].mean(axis=0)
+                self.points[members] = bary
+                self.colors[members] = col
+            new_map[int(canon_o[s])] = first
+        self.scene_point_of_track = new_map
 
     def update_points(self, track_ids, xyz: np.ndarray):
         """Overwrite positions of existing tracks' scene points (e.g. after

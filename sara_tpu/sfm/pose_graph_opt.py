@@ -8,10 +8,11 @@ loop closure).
 
 Levenberg-Marquardt over absolute poses with relative-pose residuals:
   r_ij = log( T_meas_ij^-1 o T_j o T_i^-1 )  in se(3),
-autodiff Jacobians per edge (each touches only two poses), dense normal
-equations assembled by scatter-add — graphs of a few hundred keyframes solve
-in one small device program; larger graphs fall back to CG on the same
-matrix-free products.
+autodiff Jacobians per edge (each touches only two poses). Graphs up to a
+few hundred keyframes solve the dense (6N)^2 normal equations in one small
+device program; larger graphs use matrix-free block-Jacobi-preconditioned
+CG over the per-edge products (O(E) per iteration) — select with
+``method=`` or let "auto" pick by size.
 """
 
 from __future__ import annotations
@@ -97,20 +98,89 @@ def _assemble_dense(p: PoseGraphProblem, r, Ji, Jj):
     return H.reshape(6 * N, 6 * N), g.reshape(6 * N)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
-                        lambda_init: float = 1e-4):
-    """LM on the pose graph. Returns (problem with updated poses, info)."""
+def _matfree_solve(p: PoseGraphProblem, r, Ji, Jj, lam, cg_iters: int):
+    """CG on the damped normal equations, matrix-free over edges: each
+    matvec is two (E, 6, 6) batched products + two segment-sums — O(E)
+    memory instead of the dense (6N)^2 assemble."""
     N = p.poses.shape[0]
+    # Eliminate fixed poses from the system (zeroing dx after an unmasked
+    # solve is NOT equivalent and stalls convergence).
+    free = (~p.pose_fixed).astype(r.dtype)
+    Ji = Ji * free[p.edge_i][:, None, None]
+    Jj = Jj * free[p.edge_j][:, None, None]
+    g = (jax.ops.segment_sum(-jnp.einsum("eab,ea->eb", Ji, r), p.edge_i, N)
+         + jax.ops.segment_sum(-jnp.einsum("eab,ea->eb", Jj, r), p.edge_j, N))
+    # Damping needs the diagonal blocks anyway — reuse them for both the
+    # LM term and the preconditioner.
+    Hii = jax.ops.segment_sum(jnp.einsum("eab,eac->ebc", Ji, Ji), p.edge_i, N)
+    Hjj = jax.ops.segment_sum(jnp.einsum("eab,eac->ebc", Jj, Jj), p.edge_j, N)
+    D = Hii + Hjj
+    eye = jnp.eye(6, dtype=D.dtype)
+    damp = lam * (D * eye) + 1e-8 * eye              # (N, 6, 6) diag blocks
+    from sara_tpu.ops.smallmat import batched_inv
+
+    Minv = batched_inv(D + damp)
+
+    def matvec(x):
+        y = (jnp.einsum("eab,eb->ea", Ji, x[p.edge_i])
+             + jnp.einsum("eab,eb->ea", Jj, x[p.edge_j]))
+        out = (jax.ops.segment_sum(jnp.einsum("eab,ea->eb", Ji, y),
+                                   p.edge_i, N)
+               + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", Jj, y),
+                                     p.edge_j, N))
+        return out + jnp.einsum("nab,nb->na", damp, x)
+
+    precond = lambda v: jnp.einsum("nab,nb->na", Minv, v)
+    x = jnp.zeros_like(g)
+    res = g
+    z = precond(res)
+    d = z
+    rz = jnp.sum(res * z)
+
+    def body(_, state):
+        x, res, d, rz = state
+        Ad = matvec(d)
+        dAd = jnp.sum(d * Ad)
+        alpha = rz / jnp.where(jnp.abs(dAd) < 1e-20, 1e-20, dAd)
+        x2 = x + alpha * d
+        r2 = res - alpha * Ad
+        z2 = precond(r2)
+        rz2 = jnp.sum(r2 * z2)
+        beta = rz2 / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        keep = rz2 < 1e-30
+        return (jnp.where(keep, x, x2), jnp.where(keep, res, r2),
+                jnp.where(keep, d, z2 + beta * d), jnp.where(keep, rz, rz2))
+
+    x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, res, d, rz))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "method",
+                                             "cg_iters"))
+def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
+                        lambda_init: float = 1e-4, method: str = "auto",
+                        cg_iters: int = 50):
+    """LM on the pose graph. Returns (problem with updated poses, info).
+
+    method: "dense" assembles the (6N)^2 normal equations (exact solve,
+    fine to a few hundred keyframes); "cg" runs matrix-free preconditioned
+    CG over the edge products (O(E) per iteration, scales to thousands of
+    keyframes); "auto" picks dense for N <= 192."""
+    N = p.poses.shape[0]
+    if method == "auto":
+        method = "dense" if N <= 192 else "cg"
 
     def step(carry, _):
         prob, lam, cost = carry
         r, Ji, Jj = _edge_jacobians(prob)
-        H, g = _assemble_dense(prob, r, Ji, Jj)
-        diag = jnp.diag(jnp.diag(H))
-        eye = jnp.eye(6 * N, dtype=H.dtype)
-        dx = jnp.linalg.solve(H + lam * diag + 1e-8 * eye, g)
-        dx = dx.reshape(N, 6)
+        if method == "dense":
+            H, g = _assemble_dense(prob, r, Ji, Jj)
+            diag = jnp.diag(jnp.diag(H))
+            eye = jnp.eye(6 * N, dtype=H.dtype)
+            dx = jnp.linalg.solve(H + lam * diag + 1e-8 * eye, g)
+            dx = dx.reshape(N, 6)
+        else:
+            dx = _matfree_solve(prob, r, Ji, Jj, lam, cg_iters)
         dx = jnp.where(prob.pose_fixed[:, None], 0.0, dx)
         cand = prob._replace(poses=prob.poses + dx)
         new_cost = pose_graph_cost(cand)

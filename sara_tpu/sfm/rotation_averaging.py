@@ -24,8 +24,10 @@ import jax.numpy as jnp
 
 def _project_so3(M):
     """Nearest rotation(s) by SVD (batched), det = +1 enforced."""
+    from sara_tpu.ops.smallmat import det3
+
     U, _, Vt = jnp.linalg.svd(M)
-    d = jnp.linalg.det(U @ Vt)
+    d = det3(U @ Vt)
     S = jnp.stack([jnp.ones_like(d), jnp.ones_like(d), d], axis=-1)
     return (U * S[..., None, :]) @ Vt
 

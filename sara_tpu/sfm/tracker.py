@@ -32,6 +32,15 @@ class FeatureTracker:
         # Cached results of the last compute_tracks() call.
         self.track_of_feature: np.ndarray | None = None
         self.num_tracks = 0
+        # Stable identity: dense track ids are renumbered on every
+        # compute_tracks() (components merge/shift), so long-lived state
+        # (scene points) must key on the REPRESENTATIVE feature gid — the
+        # minimum global feature id of the component, which is monotone
+        # under merges (the reference instead keys its scene-point map by
+        # feature vertex, PointCloudGenerator.hpp:25-173).
+        self.component_of_feature: np.ndarray | None = None
+        self.comp_min_gid: np.ndarray | None = None
+        self.rep_of_track: np.ndarray | None = None
 
     # -- construction -------------------------------------------------------
 
@@ -73,6 +82,9 @@ class FeatureTracker:
         if n == 0:
             self.track_of_feature = np.empty(0, np.int64)
             self.num_tracks = 0
+            self.component_of_feature = np.empty(0, np.int64)
+            self.comp_min_gid = np.empty(0, np.int64)
+            self.rep_of_track = np.empty(0, np.int64)
             return self.track_of_feature, 0
         if self.edges_a:
             a = np.concatenate(self.edges_a)
@@ -105,7 +117,32 @@ class FeatureTracker:
         out[kept] = remap[labels[kept]]
         self.track_of_feature = out
         self.num_tracks = int(good.sum())
+        # Stable representatives: min gid per component (ALL members,
+        # including NMS-dropped ones — stability must not depend on which
+        # feature wins the per-frame NMS).
+        comp_min = np.full(k, n, np.int64)
+        np.minimum.at(comp_min, labels, np.arange(n, dtype=np.int64))
+        self.component_of_feature = labels
+        self.comp_min_gid = comp_min
+        self.rep_of_track = comp_min[np.nonzero(good)[0]]
         return out, self.num_tracks
+
+    # -- stable identity ----------------------------------------------------
+
+    def rep_of_tracks(self, tids) -> np.ndarray:
+        """Stable representative gid for each (current-generation) track id
+        (-1 passes through)."""
+        tids = np.asarray(tids, np.int64)
+        reps = self.rep_of_track
+        safe = np.clip(tids, 0, max(len(reps) - 1, 0))
+        return np.where((tids >= 0) & (len(reps) > 0), reps[safe], -1)
+
+    def canonical_rep(self, gids) -> np.ndarray:
+        """Current canonical representative of the component containing
+        each feature gid (tracks merged since a rep was recorded resolve to
+        the merged component's representative)."""
+        gids = np.asarray(gids, np.int64)
+        return self.comp_min_gid[self.component_of_feature[gids]]
 
     def tracks_in_frame(self, frame: int):
         """(feature_idx, track_id) arrays for tracked features of a frame."""

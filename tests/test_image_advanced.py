@@ -170,3 +170,64 @@ def test_slic_superpixels(rng):
     for l in np.unique(labels):
         ys, xs = np.nonzero(labels == l)
         assert np.ptp(ys) <= 48 and np.ptp(xs) <= 48
+
+
+def test_edge_chains_and_line_segments():
+    """Chain-based LSD on a synthetic polygon image: recovers the drawn
+    segments with correct orientations (reference
+    LineSegmentDetector.hpp pipeline parity)."""
+    import jax.numpy as jnp
+
+    from sara_tpu.image.edge_chains import (LineSegmentParams,
+                                            detect_line_segments,
+                                            edge_chains,
+                                            group_aligned_segments)
+
+    # White rotated square on dark background.
+    h, w = 120, 160
+    ys, xs = np.mgrid[0:h, 0:w].astype(float)
+    c, s = np.cos(0.3), np.sin(0.3)
+    xr = c * (xs - 80) + s * (ys - 60)
+    yr = -s * (xs - 80) + c * (ys - 60)
+    img = ((np.abs(xr) < 40) & (np.abs(yr) < 25)).astype(np.float32)
+
+    chains = edge_chains(jnp.asarray(img))
+    assert len(chains) >= 1
+    total = sum(len(ch) for ch in chains)
+    assert total > 100  # the square's perimeter is ~260 px
+
+    segs = detect_line_segments(jnp.asarray(img),
+                                LineSegmentParams(min_length=15.0))
+    assert 4 <= len(segs) <= 12, f"{len(segs)} segments"
+    # Each segment's direction must be parallel to one of the two square
+    # edge orientations.
+    d = segs[:, 1] - segs[:, 0]
+    ang = np.mod(np.arctan2(d[:, 1], d[:, 0]), np.pi)
+    ref = np.array([np.mod(0.3, np.pi), np.mod(0.3 + np.pi / 2, np.pi)])
+    err = np.min(np.abs(((ang[:, None] - ref[None]) + np.pi / 2)
+                        % np.pi - np.pi / 2), axis=1)
+    assert (err < 0.1).all(), f"angles {ang}, errors {err}"
+
+    # Collinear-grouping: split one long edge into two segments -> one
+    # group.
+    seg_pair = np.array([[[10.0, 10.0], [50.0, 10.0]],
+                         [[55.0, 10.5], [90.0, 10.5]],
+                         [[10.0, 60.0], [10.0, 90.0]]])
+    labels = group_aligned_segments(seg_pair, dist_threshold=10.0)
+    assert labels[0] == labels[1] and labels[2] != labels[0]
+
+
+def test_edge_chain_ordering_is_a_path():
+    """Chain points must be ordered: consecutive points are 8-adjacent."""
+    import jax.numpy as jnp
+
+    from sara_tpu.image.edge_chains import edge_chains
+
+    h, w = 64, 96
+    img = np.zeros((h, w), np.float32)
+    img[20:44, 30:70] = 1.0  # axis-aligned rectangle
+    chains = edge_chains(jnp.asarray(img))
+    assert chains
+    for ch in chains:
+        steps = np.abs(np.diff(ch, axis=0))
+        assert (steps.max(axis=1) <= 1.5).all()

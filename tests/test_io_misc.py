@@ -120,3 +120,23 @@ def test_pipeline_config_json_roundtrip():
     assert back.camera.has_distortion()
     sp = back.sift_params()
     assert sp.pyramid.first_octave == -1
+
+
+def test_two_view_geometry_h5_roundtrip(tmp_path):
+    from sara_tpu.io import (load_two_view_geometry_h5,
+                             save_two_view_geometry_h5)
+
+    rs = np.random.RandomState(0)
+    path = str(tmp_path / "tv.h5")
+    E = rs.normal(size=(3, 3))
+    R = np.eye(3)
+    t = np.array([1.0, 0, 0])
+    X = rs.normal(size=(50, 3))
+    inl = rs.rand(50) > 0.3
+    save_two_view_geometry_h5(path, E=E, R=R, t=t, X=X, inliers=inl,
+                              K1=np.eye(3))
+    out = load_two_view_geometry_h5(path)
+    np.testing.assert_allclose(out["E"], E)
+    np.testing.assert_allclose(out["X"], X)
+    np.testing.assert_array_equal(out["inliers"], inl)
+    assert "F" not in out  # absent optional fields are not written

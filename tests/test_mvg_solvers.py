@@ -178,3 +178,90 @@ def test_sampson_distance_zero_for_inliers():
     d = sampson_epipolar_distance(jnp.asarray(sc["E"]),
                                   jnp.asarray(sc["un"]), jnp.asarray(sc["vn"]))
     assert float(jnp.max(d)) < 1e-8
+
+
+@pytest.mark.slow
+def test_fivepoint_monte_carlo_recovery():
+    """Monte-Carlo root-recovery rate vs the CPU generalized-eigenvalue
+    oracle on the same pencil (scripts/mc_fivepoint.py; VERDICT round-1
+    item 7). Generic and near-planar problems must recover >= 99% / 97%
+    of the oracle's essential matrices. (Near-zero-baseline problems are
+    excluded: with ||t|| ~ 1e-3 the epipolar constraint barely determines
+    E and per-matrix recovery is not meaningful — any near-solution still
+    carries the correct rotation.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import jax
+    from mc_fivepoint import make_problem, oracle_solutions
+    from sara_tpu.mvg.fivepoint import five_point_essential
+
+    solver = jax.jit(jax.vmap(five_point_essential))
+    rs = np.random.RandomState(42)
+    stats = {"generic": [0, 0], "planar": [0, 0]}
+    probs, kinds = [], []
+    for i in range(256):
+        planar = i % 3 == 0
+        probs.append(make_problem(rs, near_planar=planar))
+        kinds.append("planar" if planar else "generic")
+    U = jnp.asarray(np.stack([p[0] for p in probs]))
+    V = jnp.asarray(np.stack([p[1] for p in probs]))
+    Es, valids = solver(U, V)
+    Es, valids = np.asarray(Es), np.asarray(valids)
+    for k, (u, v, _) in enumerate(probs):
+        ours = [Es[k][i] / max(np.linalg.norm(Es[k][i]), 1e-12)
+                for i in range(Es.shape[1]) if valids[k][i]]
+        for E in oracle_solutions(u, v):
+            s = stats[kinds[k]]
+            s[0] += 1
+            s[1] += any(min(np.linalg.norm(E - F), np.linalg.norm(E + F))
+                        < 1e-3 for F in ours)
+    gen = stats["generic"]
+    pla = stats["planar"]
+    assert gen[1] / gen[0] >= 0.99, f"generic recovery {gen[1]}/{gen[0]}"
+    assert pla[1] / pla[0] >= 0.97, f"planar recovery {pla[1]}/{pla[0]}"
+
+
+def test_dominant_plane_degeneracy_detection():
+    """Plane-degenerate scenes yield a high dominant-plane ratio; generic
+    3-D scenes a low one (reference: EpipolarDegeneracy.hpp DEGENSAC)."""
+    from sara_tpu.mvg.degeneracy import dominant_plane_ratio
+
+    rs = np.random.RandomState(5)
+    ang = 0.2
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([1.0, 0.2, 0.1])
+
+    def project_pair(X):
+        u = X[:, :2] / X[:, 2:]
+        Xb = X @ R.T + t
+        v = Xb[:, :2] / Xb[:, 2:]
+        return u, v
+
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ R
+
+    # Planar scene: all points on one plane.
+    n_vec = np.array([0.1, 0.3, 1.0])
+    Xp = rs.uniform(-2, 2, (60, 3)) + np.array([0, 0, 6.0])
+    d = 6.0
+    Xp = Xp * (d / (Xp @ n_vec))[:, None]  # project onto plane n.X = d
+    up, vp = project_pair(Xp)
+    # Generic scene.
+    Xg = rs.uniform(-2, 2, (60, 3)) + np.array([0, 0, 6.0])
+    ug, vg = project_pair(Xg)
+
+    mask = jnp.ones(60, bool)
+    # Normalized coordinates: E acts directly; threshold in normalized
+    # units (~1e-2 rad of transfer error).
+    r_planar = float(dominant_plane_ratio(
+        jnp.asarray(E), jnp.asarray(up), jnp.asarray(vp), mask,
+        threshold=0.01))
+    r_generic = float(dominant_plane_ratio(
+        jnp.asarray(E), jnp.asarray(ug), jnp.asarray(vg), mask,
+        threshold=0.01))
+    assert r_planar > 0.9, f"planar ratio {r_planar}"
+    assert r_generic < 0.6, f"generic ratio {r_generic}"

@@ -99,3 +99,43 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_multihost_2d_mesh_ba_matches_single_device():
+    """(host, chip) 2-D mesh: points over the host axis, observations over
+    the chip axis — the BASELINE config 5 sharding, exercised on the
+    8-device CPU mesh as 2 virtual hosts x 4 chips."""
+    from sara_tpu.parallel import (initialize_distributed,
+                                   make_host_chip_mesh,
+                                   multihost_bundle_adjust,
+                                   process_local_slice)
+
+    # Single-process no-op path of the distributed init.
+    assert initialize_distributed() is False
+    sl = process_local_slice(100)
+    assert sl == slice(0, 100)
+
+    prob = _toy_problem(C=4, P=96, O=400)
+    opts = BAOptions(max_iters=10, cg_iters=20)
+    ref, ref_info = bundle_adjust(prob, opts)
+    mesh = make_host_chip_mesh(hosts=2, n_devices=8)
+    assert mesh.devices.shape == (2, 4)
+    out, info = multihost_bundle_adjust(prob, mesh, opts)
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.points)[: prob.points.shape[0]],
+        np.asarray(ref.points), atol=1e-5)
+    assert abs(float(info["final_cost"]) - float(ref_info["final_cost"])) < 1e-4
+
+
+def test_multihost_2d_mesh_unpadded():
+    from sara_tpu.parallel import make_host_chip_mesh, multihost_bundle_adjust
+
+    prob = _toy_problem(C=3, P=37, O=101)
+    opts = BAOptions(max_iters=5, cg_iters=10)
+    ref, _ = bundle_adjust(prob, opts)
+    mesh = make_host_chip_mesh(hosts=2, n_devices=8)
+    out, _ = multihost_bundle_adjust(prob, mesh, opts)
+    np.testing.assert_allclose(np.asarray(out.poses), np.asarray(ref.poses),
+                               atol=1e-6)

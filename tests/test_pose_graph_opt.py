@@ -141,3 +141,47 @@ def test_rotation_averaging_with_outliers():
     G = gt[0][0] @ R_est[0].T
     errs = [rotation_distance(G @ R_est[k], gt[k][0]) for k in range(n)]
     assert max(errs) < 0.1, f"max rotation error {max(errs)}"
+
+
+def test_cg_matches_dense():
+    """The matrix-free CG path must reach the same optimum as the dense
+    solve on a drifted loop (method="cg" forced on a small graph)."""
+    n = 30
+    rs = np.random.RandomState(3)
+    gt = _circle_trajectory(n)
+    noisy = [gt[0]]
+    edges = []
+    for k in range(1, n):
+        R, t = _rel(gt[k - 1], gt[k])
+        Rn = np.asarray(lie.so3_exp(jnp.asarray(
+            lie.so3_log(jnp.asarray(R)) + rs.normal(scale=0.01, size=3))))
+        tn = t + rs.normal(scale=0.02, size=3)
+        Rp, tp = noisy[-1]
+        noisy.append((Rn @ Rp, Rn @ tp + tn))
+        edges.append((k - 1, k, R, t, 1.0))
+    Rlc, tlc = _rel(gt[n - 1], gt[0])
+    edges.append((n - 1, 0, Rlc, tlc, 10.0))
+    packed = np.stack([
+        np.concatenate([np.asarray(lie.so3_log(jnp.asarray(R))), t])
+        for R, t in noisy])
+    E = len(edges)
+    prob = PoseGraphProblem(
+        poses=jnp.asarray(packed),
+        edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+        edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+        rel_pose=jnp.stack([relative_pose_to_packing(e[2], e[3]) for e in edges]),
+        weight=jnp.asarray([e[4] for e in edges]),
+        edge_mask=jnp.ones(E, bool),
+        pose_fixed=jnp.asarray([True] + [False] * (n - 1)),
+    )
+    c0 = float(pose_graph_cost(prob))
+    out_d, info_d = optimize_pose_graph(prob, max_iters=30, method="dense")
+    out_c, info_c = optimize_pose_graph(prob, max_iters=30, method="cg",
+                                        cg_iters=100)
+    cc = float(info_c["final_cost"])
+    # Exact-measurement edges: the optimum cost is machine zero; both
+    # paths must reach (near) it and agree.
+    assert float(info_d["final_cost"]) < 1e-12 * c0
+    assert cc < 1e-6 * c0, f"cg {cc} vs initial {c0}"
+    np.testing.assert_allclose(np.asarray(out_c.poses),
+                               np.asarray(out_d.poses), atol=1e-3)

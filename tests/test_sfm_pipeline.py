@@ -122,3 +122,55 @@ def test_vo_pipeline_noise_free_is_tight():
     traj = pipe.pose_graph.trajectory()
     err = ate_rmse(traj, centers_gt)
     assert err < 0.02, f"ATE {err}"
+
+
+def test_track_merge_barycenter_propagation():
+    """Two tracks that later merge must unify their scene points as the
+    barycenter under a stable key (reference:
+    PointCloudGenerator::propagate_scene_point_indices)."""
+    from sara_tpu.sfm.tracker import FeatureTracker
+    from sara_tpu.sfm.pointcloud import PointCloudGenerator
+
+    tr = FeatureTracker()
+    for _ in range(3):
+        tr.add_frame(4, np.ones(4, np.float32))
+    # Two disjoint 2-frame tracks: (f0,0)-(f1,0) and (f1,1)-(f2,1).
+    tr.add_matches(0, 1, np.array([0]), np.array([0]))
+    tr.add_matches(1, 2, np.array([1]), np.array([1]))
+    tr.compute_tracks(min_length=2)
+    pc = PointCloudGenerator()
+    reps = tr.rep_of_tracks(np.arange(tr.num_tracks))
+    assert len(reps) == 2
+    pc.add_points(reps, np.array([[0.0, 0.0, 5.0], [2.0, 0.0, 7.0]]))
+    assert pc.num_points == 2
+    p0 = pc.point_of_track(int(reps[0])).copy()
+
+    # A new match fuses the two tracks through frame 1.
+    tr.add_matches(0, 1, np.array([0]), np.array([1]))
+    tr.compute_tracks(min_length=2)
+    pc.propagate(tr)
+    assert tr.num_tracks == 1
+    rep_new = int(tr.rep_of_tracks(np.array([0]))[0])
+    merged = pc.point_of_track(rep_new)
+    np.testing.assert_allclose(merged, [1.0, 0.0, 6.0])  # barycenter
+    # Exactly one live key remains.
+    assert len(pc.scene_point_of_track) == 1
+
+
+def test_rep_stability_across_generations():
+    """Representatives survive re-labelling when unrelated tracks appear."""
+    from sara_tpu.sfm.tracker import FeatureTracker
+
+    tr = FeatureTracker()
+    for _ in range(2):
+        tr.add_frame(8, np.ones(8, np.float32))
+    tr.add_matches(0, 1, np.array([5]), np.array([5]))
+    tr.compute_tracks(min_length=2)
+    rep_a = int(tr.rep_of_tracks(np.array([0]))[0])
+    # New frame + a track with SMALLER gids shifts dense numbering.
+    tr.add_frame(8, np.ones(8, np.float32))
+    tr.add_matches(0, 1, np.array([0]), np.array([0]))
+    tr.add_matches(1, 2, np.array([3]), np.array([3]))
+    tr.compute_tracks(min_length=2)
+    reps_now = set(int(r) for r in tr.rep_of_tracks(np.arange(tr.num_tracks)))
+    assert rep_a in reps_now  # the old track kept its stable key
