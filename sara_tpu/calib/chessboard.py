@@ -200,9 +200,26 @@ def detect_chessboard_corners(image, params: ChessboardParams = ChessboardParams
         return None, False
     pts = np.stack([xs, ys], axis=1)
     grid = _assemble_grid(pts)
+
+    def _matches(g):
+        return (g is not None and expected_size is not None
+                and tuple(g.shape[:2]) in (tuple(expected_size),
+                                           tuple(expected_size)[::-1]))
+
+    if grid is None or (expected_size is not None and not _matches(grid)):
+        # Fallback: edge-chain square reconstruction + square-graph
+        # embedding — robust to the strong distortion that breaks the
+        # linear-prediction BFS (reference: SquareReconstruction.cpp,
+        # SquareGraph.hpp).
+        from sara_tpu.calib.squares import assemble_grid_from_squares
+
+        grid2 = assemble_grid_from_squares(np.asarray(image, np.float32),
+                                           pts)
+        if grid2 is not None and (expected_size is None or _matches(grid2)):
+            grid = grid2
     if grid is None:
         return None, False
-    if expected_size is not None and grid.shape[:2] != tuple(expected_size):
+    if expected_size is not None and not _matches(grid):
         return grid, False
     return grid, True
 

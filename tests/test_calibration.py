@@ -2,6 +2,7 @@
 (cf. reference cpp/test/Sara/ChessboardDetection and the calibration tool,
 SURVEY.md §3.5)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -149,3 +150,83 @@ def test_omnidirectional_calibration():
     assert out["rms"] < 0.1, out["rms"]
     assert abs(out["xi"] - xi_gt) < 0.1, out["xi"]
     assert abs(out["K"][0, 0] - 480.0) < 25.0
+
+
+def test_square_reconstruction_grid_pinhole():
+    """Edge-chain square reconstruction recovers the full corner grid on a
+    plain pinhole view (reference: SquareReconstruction.cpp +
+    SquareGraph.hpp parity)."""
+    from sara_tpu.calib.chessboard import (ChessboardParams,
+                                           _corner_candidates)
+    from sara_tpu.calib.squares import assemble_grid_from_squares
+
+    ang = 0.25
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([-4.0, -3.0, 10.0])
+    img, pix_gt, _ = _render_chessboard(K_GT, R, t)
+
+    out = _corner_candidates(jnp.asarray(img, jnp.float32),
+                             ChessboardParams())
+    m = np.asarray(out["mask"])
+    pts = np.stack([np.asarray(out["x"])[m], np.asarray(out["y"])[m]],
+                   axis=1)
+    grid = assemble_grid_from_squares(img, pts)
+    assert grid is not None
+    assert sorted(grid.shape[:2]) == [5, 7], grid.shape
+    det = grid.reshape(-1, 2)
+    for g in pix_gt.reshape(-1, 2):
+        assert np.min(np.linalg.norm(det - g, axis=1)) < 0.7
+
+
+def test_square_reconstruction_grid_distorted():
+    """The square-graph path survives strong barrel distortion, where the
+    linear-prediction lattice BFS is expected to struggle (the reference
+    built SquareReconstruction for exactly its omnidirectional views)."""
+    import cv2
+
+    from sara_tpu.calib.chessboard import (ChessboardParams,
+                                           _corner_candidates)
+    from sara_tpu.calib.squares import assemble_grid_from_squares
+
+    ang = 0.2
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([-4.0, -3.0, 9.0])
+    img, pix_gt, _ = _render_chessboard(K_GT, R, t)
+    h, w = img.shape
+    cx, cy, f = w / 2.0, h / 2.0, 200.0
+    k1 = -0.30
+
+    # dst(q) = src(u(q)), u(q) = c + (q - c) (1 + k1 r^2): barrel warp.
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    nx, ny = (xs - cx) / f, (ys - cy) / f
+    r2 = nx * nx + ny * ny
+    map_x = (cx + (xs - cx) * (1 + k1 * r2)).astype(np.float32)
+    map_y = (cy + (ys - cy) * (1 + k1 * r2)).astype(np.float32)
+    dimg = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_REPLICATE)
+
+    # Ground truth corners in the distorted image: solve u(q) = p.
+    def fwd(p):
+        q = p.copy()
+        for _ in range(20):
+            n = (q - [cx, cy]) / f
+            rr = (n * n).sum()
+            q = [cx, cy] + (p - [cx, cy]) / (1 + k1 * rr)
+        return q
+
+    gt_d = np.stack([fwd(p) for p in pix_gt.reshape(-1, 2)])
+
+    out = _corner_candidates(jnp.asarray(dimg, jnp.float32),
+                             ChessboardParams())
+    m = np.asarray(out["mask"])
+    pts = np.stack([np.asarray(out["x"])[m], np.asarray(out["y"])[m]],
+                   axis=1)
+    grid = assemble_grid_from_squares(dimg, pts)
+    assert grid is not None
+    # The full 5x7 inner grid must be embedded despite the curvature.
+    assert sorted(grid.shape[:2]) == [5, 7], grid.shape
+    det = grid.reshape(-1, 2)
+    for g in gt_d:
+        assert np.min(np.linalg.norm(det - g, axis=1)) < 1.0
