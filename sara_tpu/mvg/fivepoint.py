@@ -42,11 +42,19 @@ import jax
 import jax.numpy as jnp
 
 MAX_SOLUTIONS = 10
+# 4 remixes: 3 was measured right at the 99%-generic-recovery gate
+# (98.7-99.7% across seeds, scripts/mc_fivepoint.py); the 4th buys the
+# margin.
 _N_REMIX = 4
 _ROOTS_PER_REMIX = 8
 _GRID = 96
 _PHI_MAX = 1.45           # |z| <= tan(1.45) ~ 8.2 per remix
-_BISECT_ITERS = 40
+# 12 halvings of a ~0.03 rad grid cell + 2 Newton steps on the series reach
+# ~1e-7 rad; the downstream Gauss-Newton polish on (x, y, z) absorbs the
+# rest. (40 blind halvings cost 28 more sequential steps per program for
+# precision f32 cannot even represent.)
+_BISECT_ITERS = 12
+_NEWTON_ITERS = 2
 _N_SUSPICIOUS = 3         # cells re-examined for hidden root pairs
 _SUBDIV = 16              # subsamples per suspicious cell
 
@@ -234,7 +242,25 @@ def _find_roots(C, dtype):
                 jnp.where(left, glo, gmid))
 
     lo, hi, glo = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi, glo))
-    return jnp.tan(0.5 * (lo + hi)), has
+    phi_r = 0.5 * (lo + hi)
+
+    # Newton tail on the trig series (derivative is the same series with
+    # k-weighted coefficients); steps clamped to the bracket width.
+    kc = jnp.asarray(_K_COS, dtype)
+    ks = jnp.asarray(_K_SIN, dtype)
+
+    def dgeval(p):
+        b = jnp.concatenate([-kc * jnp.sin(p[..., None] * kc),
+                             ks * jnp.cos(p[..., None] * ks)], axis=-1)
+        return b @ coeff
+
+    width = hi - lo
+    for _ in range(_NEWTON_ITERS):
+        g_r = geval(phi_r)
+        dg = dgeval(phi_r)
+        step = -g_r / jnp.where(jnp.abs(dg) < 1e-30, 1e-30, dg)
+        phi_r = phi_r + jnp.clip(step, -width, width)
+    return jnp.tan(phi_r), has
 
 
 def _solve_basis(basis4):
@@ -259,16 +285,19 @@ def _solve_basis(basis4):
     # 5-point problems), far above the null eigenvalue at a bisected root,
     # and large enough to keep the f32 LU well-posed.
     A = A + 1e-6 * jnp.eye(10, dtype=A.dtype)
-    # Two independent start vectors share one LU factorization (stacked
-    # RHS): a single fixed start can be nearly orthogonal to the null
-    # vector and silently fail the resid<1e-3 validity filter below.
+    # Two independent start vectors (a single fixed start can be nearly
+    # orthogonal to the null vector and silently fail the resid<1e-3
+    # validity filter below). Invert A ONCE (one batched Gauss-Jordan
+    # pass) and run the iterations as matmuls — a second elimination pass
+    # would double the sequential step count of the program.
     m0 = jnp.ones(Cz.shape[:-2] + (10,), Cz.dtype) / jnp.sqrt(10.0)
     m1 = jnp.broadcast_to(jnp.asarray(_START2, Cz.dtype), m0.shape)
-    from sara_tpu.ops.smallmat import batched_solve
+    from sara_tpu.ops.smallmat import batched_inv
 
+    Ainv = batched_inv(A)
     M2 = jnp.stack([m0, m1], axis=-1)              # (..., 10, 2)
     for _ in range(2):
-        M2 = batched_solve(A, M2)
+        M2 = Ainv @ M2
         M2 = M2 / jnp.maximum(
             jnp.linalg.norm(M2, axis=-2, keepdims=True), 1e-30)
     # Pick per root the start whose iterate is closest to the null space.

@@ -45,3 +45,36 @@ class TicToc:
             lines.append(f"{k}: total {self.totals[k]*1e3:.1f} ms, "
                          f"n={n}, avg {self.totals[k]/max(n,1)*1e3:.2f} ms")
         return "\n".join(lines)
+
+
+class device_trace:
+    """Context manager around ``jax.profiler.trace`` (XLA trace dump for
+    TensorBoard/xprof) — the tracing/profiling aux subsystem (SURVEY §5).
+    Degrades to a no-op when the backend/plugin cannot trace (the axon
+    tunnel runtime may not support profiling RPCs)."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            import jax.profiler
+
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        except Exception as e:  # pragma: no cover - backend dependent
+            import logging
+
+            logging.getLogger("sara_tpu").warning("trace unavailable: %s", e)
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            try:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        return False

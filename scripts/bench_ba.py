@@ -69,11 +69,18 @@ def main():
     ap.add_argument("--sizes", default="small,medium")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cg", type=int, default=15)
+    ap.add_argument("--mesh", action="store_true",
+                    help="also measure sharded-BA times over 1/2/4/8 "
+                    "devices (virtual CPU mesh: a thread-level parallel "
+                    "proxy, not real-chip ICI scaling)")
     args = ap.parse_args()
 
     import jax
 
-    if args.cpu:
+    if args.cpu or args.mesh:
+        # The virtual multi-device mesh only exists on the CPU backend.
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
         jax.config.update("jax_platforms", "cpu")
 
     from sara_tpu.ba import BAOptions, bundle_adjust
@@ -95,6 +102,35 @@ def main():
               f"compile+1st={compile_s:.1f}s  run={run_s*1e3:.0f}ms  "
               f"{ips:.1f} LM iters/s  cost {float(info['initial_cost']):.1f}"
               f"->{c:.1f}", flush=True)
+        from sara_tpu.utils.roofline import ba_lm_iteration, report
+
+        est = ba_lm_iteration(cfg["C"], cfg["P"], cfg["O"], args.cg)
+        tag = ("" if jax.default_backend() == "tpu"
+               else "  [TPU-peak roofline; CPU run — reference only]")
+        print("  " + report(f"{name}/LM-iter", est, run_s / args.iters)
+              + tag, flush=True)
+
+        if args.mesh:
+            from sara_tpu.parallel import (distributed_bundle_adjust,
+                                           make_mesh)
+
+            base = None
+            for n in (1, 2, 4, 8):
+                if n > jax.device_count():
+                    break
+                mesh = make_mesh(n)
+                t0 = time.perf_counter()
+                out, info = distributed_bundle_adjust(prob, mesh, opts)
+                float(info["final_cost"])
+                _ = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                out, info = distributed_bundle_adjust(prob, mesh, opts)
+                float(info["final_cost"])
+                dt = time.perf_counter() - t0
+                base = base or dt
+                print(f"  mesh n={n}: {dt*1e3:.0f} ms  "
+                      f"speedup {base/dt:.2f}x  "
+                      f"efficiency {base/dt/n*100:.0f}%", flush=True)
 
 
 if __name__ == "__main__":

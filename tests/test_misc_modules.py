@@ -130,3 +130,30 @@ def test_admm_lasso(rng):
     assert abs(x[7] + 2.0) < 0.2
     big = set(np.nonzero(np.abs(x) > 0.3)[0].tolist())
     assert big == {2, 7, 13}
+
+
+def test_roofline_estimates_sane():
+    """Roofline accounting: estimates are positive, bounds classified, and
+    the BA estimate scales linearly in observations."""
+    from sara_tpu.utils.roofline import ba_lm_iteration, sift_frame, report
+
+    e1 = ba_lm_iteration(C=64, P=10000, O=160000, cg_iters=15)
+    e2 = ba_lm_iteration(C=64, P=10000, O=320000, cg_iters=15)
+    assert e1.flops > 0 and e1.bytes > 0
+    assert 1.8 < e2.flops / e1.flops < 2.2
+    assert e1.bound() in ("compute", "memory")
+    t = e1.roofline_seconds()
+    assert 0 < t < 1.0
+    assert 0 < e1.achieved_fraction(10 * t) <= 0.11
+
+    s = sift_frame(480, 640, first_octave=-1)
+    s0 = sift_frame(480, 640, first_octave=0)
+    assert s.flops > 3 * s0.flops  # the -1 octave quadruples pixel work
+    assert "roofline" in report("sift", s, 0.01)
+
+
+def test_device_trace_noop_safe(tmp_path):
+    from sara_tpu.utils import device_trace
+
+    with device_trace(str(tmp_path)):
+        pass
