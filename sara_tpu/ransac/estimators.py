@@ -132,7 +132,82 @@ def estimate_relative_pose(key, u, v, mask, K1, K2,
     ray1 = jnp.concatenate([un, jnp.ones_like(un[..., :1])], axis=-1)
     ray2 = jnp.concatenate([vn, jnp.ones_like(vn[..., :1])], axis=-1)
     R, t, X, cheiral, _ = two_view_geometry(res.model, ray1, ray2, res.inliers)
+
+    # Nonlinear (R, t) polish: Gauss-Newton on the signed Sampson residual
+    # over the inliers (5 dof: so(3) + tangent of the translation sphere).
+    # The algebraic IRLS refit above is biased — measured ~0.3 deg rotation
+    # error at 0.3 px noise / 300 points, ~10x above the GN optimum; every
+    # downstream stage (rotation averaging, windowed BA init) inherits it.
+    R, t = refine_relative_pose(R, t, un, vn,
+                                res.inliers.astype(un.dtype))
+    E_pol = _cross_mat(t) @ R
+    E_pol = E_pol / jnp.linalg.norm(E_pol)
+    r_pol = sampson_epipolar_distance(E_pol, un, vn)
+    inl_pol = (r_pol < thr) & mask
+    # Keep the polished model only if it does not lose inliers.
+    better = jnp.sum(inl_pol) >= res.num_inliers
+    res = res._replace(
+        model=jnp.where(better, E_pol, res.model),
+        inliers=jnp.where(better, inl_pol, res.inliers))
+    res = res._replace(num_inliers=jnp.sum(res.inliers.astype(jnp.int32)))
     return res, R, t
+
+
+def _cross_mat(v):
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+    ], axis=-2)
+
+
+def refine_relative_pose(R0, t0, un, vn, weights, iters: int = 8):
+    """Gauss-Newton minimization of the weighted signed Sampson residual
+    over (R, t): R = exp(w) R0, t = normalize(t0 + B s) with B an
+    orthonormal basis of t0's tangent plane. Returns (R, t)."""
+    from sara_tpu.core import lie
+
+    t0 = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-12)
+    # Tangent basis of the unit sphere at t0.
+    a = jnp.where(jnp.abs(t0[0]) < 0.9,
+                  jnp.asarray([1.0, 0.0, 0.0], t0.dtype),
+                  jnp.asarray([0.0, 1.0, 0.0], t0.dtype))
+    b1 = jnp.cross(t0, a)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t0, b1)
+    B = jnp.stack([b1, b2], axis=-1)                     # (3, 2)
+
+    uh = jnp.concatenate([un, jnp.ones_like(un[..., :1])], axis=-1)
+    vh = jnp.concatenate([vn, jnp.ones_like(vn[..., :1])], axis=-1)
+
+    def resid(p):
+        Rp = lie.so3_exp(p[:3]) @ R0
+        tp = t0 + B @ p[3:]
+        tp = tp / jnp.maximum(jnp.linalg.norm(tp), 1e-12)
+        E = _cross_mat(tp) @ Rp
+        Eu = uh @ E.T                                    # (N, 3)
+        Etv = vh @ E
+        num = jnp.sum(vh * Eu, axis=-1)
+        den = jnp.sqrt(Eu[:, 0] ** 2 + Eu[:, 1] ** 2
+                       + Etv[:, 0] ** 2 + Etv[:, 1] ** 2)
+        return weights * num / jnp.maximum(den, 1e-12)
+
+    def step(_, p):
+        r = resid(p)
+        J = jax.jacfwd(resid)(p)                         # (N, 5)
+        H = J.T @ J + 1e-10 * jnp.eye(5, dtype=p.dtype)
+        g = J.T @ r
+        dp = -jnp.linalg.solve(H, g)
+        p2 = p + dp
+        ok = jnp.sum(resid(p2) ** 2) < jnp.sum(r ** 2)
+        return jnp.where(ok, p2, p)
+
+    p = jax.lax.fori_loop(0, iters, step,
+                          jnp.zeros(5, dtype=un.dtype))
+    R = lie.so3_exp(p[:3]) @ R0
+    t = t0 + B @ p[3:]
+    return R, t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
 
 
 def _refit_essential(un, vn, mask, inliers, thr, iters: int = 3):

@@ -151,6 +151,12 @@ def _multiview_triangulate(P_mats: jnp.ndarray, uv: jnp.ndarray,
         r1 = x[:, 0, None] * P[:, 2] - P[:, 0]      # (V, 4)
         r2 = x[:, 1, None] * P[:, 2] - P[:, 1]
         A = jnp.concatenate([r1, r2], axis=0)       # (2V, 4)
+        # Row normalization: the DLT is f32-fragile without it when the
+        # camera matrices carry pixel-scale entries (measured: point
+        # clouds 20x worse in f32 than f64 before this; callers should
+        # ALSO pass K-normalized cameras/coords — see run_global_sfm).
+        A = A / jnp.maximum(
+            jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
         w = jnp.concatenate([m, m], axis=0).astype(A.dtype)
         A = A * w[:, None]
         _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
@@ -173,12 +179,22 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
 
     Returns dict with R (V,3,3), t (V,3), points (P,3), tracker, ba_info.
     """
+    import time as _time
+
     V = len(keypoint_sets)
     if key is None:
         key = jax.random.PRNGKey(0)
     if pairs is None:
         pairs = [(i, j) for i in range(V) for j in range(i + 1, V)]
     Kj = jnp.asarray(K)
+    stage_t = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal _t0
+        now = _time.perf_counter()
+        stage_t[name] = now - _t0
+        _t0 = now
 
     # --- Stage 1+2: matching + relative poses over the pair list. ---
     tracker = FeatureTracker()
@@ -253,6 +269,7 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
             edge_t.append(np.asarray(t_rel) / max(np.linalg.norm(np.asarray(t_rel)), 1e-12))
             tracker.add_matches(a, b, np.asarray(m.i)[inl], np.asarray(m.j)[inl])
 
+    _mark("pair_stage")
     if len(edges) < V - 1:
         raise RuntimeError(
             f"epipolar graph too sparse: {len(edges)} edges for {V} views")
@@ -262,12 +279,14 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
     ej = jnp.asarray([e[1] for e in edges], jnp.int32)
     R_abs = np.asarray(average_rotations(V, ei, ej,
                                          jnp.asarray(np.stack(edge_R))))
+    _mark("rotation_averaging")
 
     # --- Stage 4: translation averaging. ---
     u_dirs = np.stack([-(R_abs[e[1]].T @ t) for e, t in zip(edges, edge_t)])
     centers = _translation_averaging(V, edges, u_dirs,
                                      iters=config.translation_iters)
     t_abs = np.stack([-R_abs[v] @ centers[v] for v in range(V)])
+    _mark("translation_averaging")
 
     # --- Stage 5: tracks + multi-view triangulation. ---
     tracker.compute_tracks(config.min_track_length)
@@ -280,16 +299,21 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
     P_pad = np.zeros((T, max_len, 3, 4))
     uv_pad = np.zeros((T, max_len, 2))
     m_pad = np.zeros((T, max_len), bool)
-    P_all = np.einsum("vij,vjk->vik", np.repeat(K[None], V, 0),
-                      np.concatenate([R_abs, t_abs[:, :, None]], axis=2))
+    # K-normalized cameras and image coordinates: entries stay O(1), which
+    # the f32 (TPU) DLT needs for accurate triangulation.
+    Kinv = np.linalg.inv(K)
+    P_all = np.concatenate([R_abs, t_abs[:, :, None]], axis=2)
     for ti, tid in enumerate(track_ids):
         frames, feats = members[tid]
         for k, (f, ft) in enumerate(zip(frames, feats)):
             P_pad[ti, k] = P_all[f]
-            uv_pad[ti, k] = np.asarray(keypoint_sets[f].xy)[ft]
+            xy = np.asarray(keypoint_sets[f].xy)[ft]
+            xyn = Kinv @ np.array([xy[0], xy[1], 1.0])
+            uv_pad[ti, k] = xyn[:2] / xyn[2]
             m_pad[ti, k] = True
     X = np.asarray(_multiview_triangulate(
         jnp.asarray(P_pad), jnp.asarray(uv_pad), jnp.asarray(m_pad)))
+    _mark("tracks_triangulation")
 
     # Cheirality / sanity filter.
     good_pt = np.isfinite(X).all(axis=1) & (np.linalg.norm(X, axis=1) < 1e3)
@@ -331,6 +355,8 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
         point_fixed=jnp.zeros(len(Xk), bool),
     )
     out, info = bundle_adjust(prob, config.ba_options)
+    float(info["final_cost"])  # honest sync before timing the stage
+    _mark("bundle_adjustment")
 
     poses_out = np.asarray(out.poses)
     R_fin = np.stack([np.asarray(lie.so3_exp(jnp.asarray(poses_out[v, :3])))
@@ -342,4 +368,5 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
         "tracker": tracker,
         "num_edges": len(edges),
         "ba_info": {k: np.asarray(v) for k, v in info.items()},
+        "stage_times": stage_t,
     }

@@ -136,6 +136,8 @@ def main():
     log(f"total {total:.1f}s ({pair_rate:.1f} pairs/s incl. averaging/BA), "
         f"edges {out['num_edges']}, points {len(out['points'])}, "
         f"ATE {err:.4f}")
+    for k, v in out.get("stage_times", {}).items():
+        log(f"  stage {k}: {v:.2f}s")
     print(json.dumps({
         "metric": "global_sfm_views_per_s",
         "value": round(args.views / total, 3),
