@@ -17,7 +17,8 @@ import numpy as np
 class VideoStream:
     """Iterate video frames as RGB uint8 arrays, with frame skipping."""
 
-    def __init__(self, path: str, num_skips: int = 0):
+    def __init__(self, path: str, num_skips: int = 0,
+                 apply_rotation: bool = True):
         import cv2
 
         self._cap = cv2.VideoCapture(path)
@@ -25,6 +26,30 @@ class VideoStream:
             raise IOError(f"cannot open video: {path}")
         self.num_skips = num_skips
         self.frame_index = -1
+        # Display-rotation metadata (phone videos): the reference rotates
+        # frames by the stream's rotation angle (VideoStream.hpp:40-93,
+        # FrameRotater). OpenCV >= 4.5 exposes it; fall back to 0.
+        self.rotation_angle = 0
+        self._apply_rotation = apply_rotation
+        try:
+            meta = self._cap.get(cv2.CAP_PROP_ORIENTATION_META)
+            if meta == meta and meta is not None:  # not NaN
+                self.rotation_angle = int(meta) % 360
+            # Let cv2 auto-rotate if it supports it; then frames arrive
+            # already upright and we must not rotate twice.
+            if self._cap.get(cv2.CAP_PROP_ORIENTATION_AUTO) == 1.0:
+                self._apply_rotation = False
+        except Exception:
+            pass
+
+    def _rotate(self, frame):
+        import cv2
+
+        if not self._apply_rotation or self.rotation_angle == 0:
+            return frame
+        code = {90: cv2.ROTATE_90_CLOCKWISE, 180: cv2.ROTATE_180,
+                270: cv2.ROTATE_90_COUNTERCLOCKWISE}.get(self.rotation_angle)
+        return cv2.rotate(frame, code) if code is not None else frame
 
     @property
     def sizes(self):
@@ -50,7 +75,7 @@ class VideoStream:
             if not ok:
                 return None
             self.frame_index += 1
-        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        return self._rotate(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:

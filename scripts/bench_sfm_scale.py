@@ -104,7 +104,13 @@ def main():
                     help="pairs per device dispatch")
     ap.add_argument("--samples", type=int, default=256,
                     help="RANSAC hypotheses per pair")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from sara_tpu.ba import BAOptions
     from sara_tpu.sfm.global_sfm import GlobalSfMConfig, run_global_sfm

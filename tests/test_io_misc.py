@@ -140,3 +140,60 @@ def test_two_view_geometry_h5_roundtrip(tmp_path):
     np.testing.assert_allclose(out["X"], X)
     np.testing.assert_array_equal(out["inliers"], inl)
     assert "F" not in out  # absent optional fields are not written
+
+
+def test_nuscenes_annotations_and_projection(tmp_path):
+    from sara_tpu.io.nuscenes import NuScenesAnnotations
+
+    root = tmp_path / "v1.0-mini"
+    os.makedirs(root)
+    tables = {
+        "sensor": [{"token": "s1", "channel": "CAM_FRONT",
+                    "modality": "camera"}],
+        "calibrated_sensor": [{"token": "c1", "sensor_token": "s1",
+                               "camera_intrinsic": [[1000, 0, 800],
+                                                    [0, 1000, 450],
+                                                    [0, 0, 1]],
+                               "rotation": [1, 0, 0, 0],
+                               "translation": [0, 0, 0]}],
+        "ego_pose": [{"token": "e1", "rotation": [1, 0, 0, 0],
+                      "translation": [0, 0, 0], "timestamp": 1}],
+        "sample_data": [{"token": "d1", "sample_token": "smp1",
+                         "calibrated_sensor_token": "c1",
+                         "ego_pose_token": "e1", "timestamp": 1,
+                         "filename": "a.jpg"}],
+        "scene": [], "sample": [{"token": "smp1"}],
+        "sample_annotation": [
+            {"token": "a1", "sample_token": "smp1",
+             "instance_token": "i1", "visibility_token": "4",
+             "attribute_tokens": [], "translation": [2.0, 1.0, 10.0],
+             "size": [1.8, 4.5, 1.6], "rotation": [1, 0, 0, 0],
+             "num_lidar_pts": 12, "num_radar_pts": 2,
+             "prev": "", "next": ""},
+            {"token": "a2", "sample_token": "smp1",
+             "instance_token": "i1", "visibility_token": "4",
+             "attribute_tokens": [], "translation": [0.0, 0.0, -5.0],
+             "size": [1, 1, 1], "rotation": [1, 0, 0, 0],
+             "num_lidar_pts": 1, "num_radar_pts": 0,
+             "prev": "", "next": ""},
+        ],
+        "instance": [{"token": "i1", "category_token": "cat1",
+                      "nbr_annotations": 2}],
+        "category": [{"token": "cat1", "name": "vehicle.car",
+                      "description": ""}],
+        "attribute": [], "visibility": [],
+    }
+    for name, rows in tables.items():
+        with open(root / f"{name}.json", "w") as f:
+            json.dump(rows, f)
+    ns = NuScenesAnnotations(str(tmp_path))
+    anns = ns.annotations_of_sample("smp1")
+    assert len(anns) == 2
+    assert anns[0]["category_name"] == "vehicle.car"
+    frame = ns.camera_frames("CAM_FRONT")[0]
+    boxes = ns.boxes_in_camera(frame)
+    # Identity transforms: the z=10 box projects; the z=-5 one is culled.
+    assert len(boxes) == 1
+    uv = boxes[0]["uv"]
+    assert abs(uv[0] - (1000 * 2.0 / 10 + 800)) < 1e-6
+    assert abs(boxes[0]["depth"] - 10.0) < 1e-9
