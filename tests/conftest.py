@@ -22,6 +22,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # Function-scoped: a session-scoped generator made every test's data
+    # depend on how many draws earlier tests consumed — adding any test
+    # could flip unrelated assertions (e.g. rotation vectors crossing the
+    # |w| = pi log-branch cut).
     return np.random.default_rng(42)

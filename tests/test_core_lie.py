@@ -10,7 +10,11 @@ from sara_tpu.core import lie
 
 
 def test_so3_exp_log_roundtrip(rng):
-    w = jnp.asarray(rng.normal(size=(32, 3)))
+    w = np.asarray(rng.normal(size=(32, 3)))
+    # Principal branch only (|w| < pi); log wraps beyond it.
+    n = np.linalg.norm(w, axis=1, keepdims=True)
+    w *= np.minimum(1.0, 3.0 / np.maximum(n, 1e-9))
+    w = jnp.asarray(w)
     R = lie.so3_exp(w)
     # Orthonormality.
     I = jnp.eye(3)
@@ -47,7 +51,12 @@ def test_quat_rotate_matches_matrix(rng):
 
 
 def test_se3_exp_log_roundtrip(rng):
-    xi = jnp.asarray(rng.normal(size=(32, 6)))
+    xi = np.asarray(rng.normal(size=(32, 6)))
+    # Keep rotation parts inside the principal branch (|w| < pi): the log
+    # of exp(w) is only w itself there.
+    n = np.linalg.norm(xi[:, :3], axis=1, keepdims=True)
+    xi[:, :3] *= np.minimum(1.0, 3.0 / np.maximum(n, 1e-9))
+    xi = jnp.asarray(xi)
     R, t = lie.se3_exp(xi)
     xi2 = lie.se3_log(R, t)
     np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi), atol=1e-6)
