@@ -157,3 +157,39 @@ def test_device_trace_noop_safe(tmp_path):
 
     with device_trace(str(tmp_path)):
         pass
+
+
+def test_deriche_accuracy_across_sigmas(rng):
+    """Deriche IIR approximation tracks the FIR Gaussian across a sigma
+    sweep (reference ships a dedicated Deriche test suite,
+    cpp/test/Sara/ImageProcessing)."""
+    import jax.numpy as jnp
+
+    from sara_tpu.image.deriche import deriche_blur
+    from sara_tpu.image.filtering import gaussian_blur
+
+    img = jnp.asarray(rng.random((96, 128)).astype(np.float32))
+    for sigma, tol in ((1.0, 0.06), (2.0, 0.02), (4.0, 0.02), (8.0, 0.03)):
+        a = np.asarray(deriche_blur(img, sigma))
+        b = np.asarray(gaussian_blur(img, sigma))
+        # Interior comparison (border handling differs by design).
+        m = min(4 * int(sigma), 30)
+        err = np.abs(a[m:-m, m:-m] - b[m:-m, m:-m]).max()
+        assert err < tol, f"sigma {sigma}: max err {err}"
+
+
+def test_ncc_is_invariant_to_gain_and_bias(rng):
+    """NCC matching must be invariant to affine intensity changes."""
+    import jax.numpy as jnp
+
+    from sara_tpu.matching.ncc import ncc_match
+
+    a = rng.random((40, 56)).astype(np.float32)
+    b = (0.5 * a + 0.25).astype(np.float32)  # gain+bias transformed copy
+    pa = np.asarray([[12.0, 10.0], [30.0, 20.0], [44.0, 28.0]])
+    mask = jnp.ones(3, bool)
+    j, score, ok = ncc_match(jnp.asarray(a), jnp.asarray(pa), mask,
+                             jnp.asarray(b), jnp.asarray(pa), mask)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(j), np.arange(3))
+    assert float(np.asarray(score).min()) > 0.99
