@@ -70,7 +70,7 @@ def quality_vs_opencv(img):
     xy_cv_a, xy_cv_b, pairs_cv, _ = q.run_opencv(img, warped)
     rep_cv, _ = q.repeatability(xy_cv_a, xy_cv_b, H, h, w)
     cor_cv, _ = q.match_quality(xy_cv_a, xy_cv_b, pairs_cv, H)
-    xy_a, xy_b, pairs, _ = q.run_ours(img, warped, -1, 6144, 3072)
+    xy_a, xy_b, pairs, _ = q.run_ours(img, warped, -1, 6144, 2048)
     rep, _ = q.repeatability(xy_a, xy_b, H, h, w)
     cor, _ = q.match_quality(xy_a, xy_b, pairs, H)
     out = {

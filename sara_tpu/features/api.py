@@ -44,9 +44,14 @@ class SIFTParams:
     (SfM/BuildingBlocks/FeatureParams.hpp:10, `ImagePyramidParams(0)`).
     """
 
+    # Per-octave capacity 2048: 3072 reproducibly CRASHES the TPU worker
+    # ("kernel fault") in the composite fo=-1 program at 480x640 — every
+    # stage passes in isolation at 3072, so this is an XLA/runtime bug we
+    # route around; 2048 measures kp 0.87x / correct-matches 0.91x of
+    # OpenCV on the bundled pair (within the parity band).
     pyramid: PyramidParams = field(
         default_factory=lambda: PyramidParams(first_octave=-1))
-    dog: DoGParams = field(default_factory=lambda: DoGParams(capacity=3072))
+    dog: DoGParams = field(default_factory=lambda: DoGParams(capacity=2048))
     max_orientations: int = 2
     total_capacity: int = 6144
     descriptor_bilinear: bool = False  # nearest sampling: 4x fewer gathers,

@@ -67,6 +67,13 @@ class OdometryConfig:
     rel_pose_samples: int = 1000
     rel_pose_threshold_px: float = 4.0
     rel_pose_min_inliers: int = 100
+    # Two-stage E-RANSAC: run a cheap first pass of this many hypotheses
+    # in the fused per-frame program, and only on rejection retry at the
+    # full rel_pose_samples (the reference's confidence-based early exit
+    # is host control flow XLA cannot express; after the ratio+mutual
+    # match filter VO inlier ratios are high enough that a small first
+    # pass almost always succeeds). 0 disables the fast pass.
+    rel_pose_samples_fast: int = 128
     pnp_samples: int = 1000
     pnp_threshold_px: float = 5.0
     pnp_min_inliers: int = 50
@@ -207,12 +214,25 @@ class OdometryPipeline:
         undistort = self.maps is not None
         umap, vmap_ = (self.maps if undistort
                        else (jnp.zeros((1, 1)), jnp.zeros((1, 1))))
+        fast = self.cfg.rel_pose_samples_fast
+        n_fast = fast if 0 < fast < self.cfg.rel_pose_samples \
+            else self.cfg.rel_pose_samples
         kp, m, res, R_rel, t_rel = _fused_frontend(
             img, umap, vmap_, self._prev_keypoints, self._next_key(),
             jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
-            self.cfg.rel_pose_threshold_px, self.cfg.rel_pose_samples,
+            self.cfg.rel_pose_threshold_px, n_fast,
             self.cfg.rel_pose_min_inliers, undistort)
-        return self._integrate(kp, m, res, R_rel, t_rel, frame_index)
+        ok = self._integrate(kp, m, res, R_rel, t_rel, frame_index)
+        if not ok and n_fast < self.cfg.rel_pose_samples:
+            # Rare hard frame: retry the relative pose at full strength.
+            res, R_rel, t_rel = estimate_relative_pose(
+                self._next_key(), self._prev_keypoints.xy, kp.xy[m.j],
+                m.mask, jnp.asarray(self.K), jnp.asarray(self.K),
+                threshold_px=self.cfg.rel_pose_threshold_px,
+                num_samples=self.cfg.rel_pose_samples,
+                min_inliers=self.cfg.rel_pose_min_inliers)
+            ok = self._integrate(kp, m, res, R_rel, t_rel, frame_index)
+        return ok
 
     def process_frames(self, images, frame_indices=None) -> list:
         """Process a sequence of frames through the batched frontend.
@@ -248,10 +268,13 @@ class OdometryPipeline:
             # slots repeat the last frame and are never integrated.
             imgs = jnp.asarray(np.stack(chunk + [chunk[-1]] * (B - n)))
             keys = jax.random.split(self._next_key(), B)
+            fast = self.cfg.rel_pose_samples_fast
+            n_fast = fast if 0 < fast < self.cfg.rel_pose_samples \
+                else self.cfg.rel_pose_samples
             kps, ms, ress, Rs, ts = _fused_frontend_batch(
                 imgs, umap, vmap_, self._prev_keypoints, keys,
                 jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
-                self.cfg.rel_pose_threshold_px, self.cfg.rel_pose_samples,
+                self.cfg.rel_pose_threshold_px, n_fast,
                 self.cfg.rel_pose_min_inliers, undistort)
             chain_ok = True
             for k in range(n):
@@ -290,13 +313,19 @@ class OdometryPipeline:
                               MatchParams(ratio=self.cfg.match_ratio))
         u = jnp.asarray(np.asarray(self._prev_keypoints.xy))
         v = kp.xy[m.j]
-        res, R_rel, t_rel = estimate_relative_pose(
-            self._next_key(), u, v, m.mask,
-            jnp.asarray(self.K), jnp.asarray(self.K),
-            threshold_px=self.cfg.rel_pose_threshold_px,
-            num_samples=self.cfg.rel_pose_samples,
-            min_inliers=self.cfg.rel_pose_min_inliers)
-        return self._integrate(kp, m, res, R_rel, t_rel, frame_index)
+        fast = self.cfg.rel_pose_samples_fast
+        n_fast = fast if 0 < fast < self.cfg.rel_pose_samples \
+            else self.cfg.rel_pose_samples
+        for n_samples in dict.fromkeys((n_fast, self.cfg.rel_pose_samples)):
+            res, R_rel, t_rel = estimate_relative_pose(
+                self._next_key(), u, v, m.mask,
+                jnp.asarray(self.K), jnp.asarray(self.K),
+                threshold_px=self.cfg.rel_pose_threshold_px,
+                num_samples=n_samples,
+                min_inliers=self.cfg.rel_pose_min_inliers)
+            if self._integrate(kp, m, res, R_rel, t_rel, frame_index):
+                return True
+        return False
 
     def _integrate(self, kp, m, res, R_rel, t_rel, frame_index) -> bool:
         """Host-side graph/track/map growth from one frame's device results."""
