@@ -70,6 +70,11 @@ class SIFTParams:
                                    # 64 row-gathers/keypoint instead of 256
                                    # pixel gathers and zero extra convs);
                                    # False = exact reference grid descriptor
+    orientation_downsample: int = 0  # 0 = auto (2 on TPU, 1 elsewhere);
+                                     # explicit 1/2 forces the map
+                                     # resolution on any backend (lets the
+                                     # CPU quality harness measure the
+                                     # TPU approximation)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "sigmas"))
@@ -83,7 +88,8 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     gx, gy = gradient(gauss[:-1])
     cdt = (jnp.bfloat16 if params.low_precision
            and jax.default_backend() == "tpu" else None)
-    ds = 2 if cdt is not None else 1
+    ds = (params.orientation_downsample if params.orientation_downsample > 0
+          else (2 if cdt is not None else 1))
 
     maps = orientation_maps(gx, gy, sigmas[:-1], compute_dtype=cdt,
                             downsample=ds)

@@ -92,7 +92,8 @@ def match_quality(xy_a, xy_b, matches_ab, H, eps=3.0):
     return int((err <= eps).sum()), len(matches_ab)
 
 
-def run_ours(img_a, img_b, first_octave, total_capacity, octave_capacity):
+def run_ours(img_a, img_b, first_octave, total_capacity, octave_capacity,
+             orientation_downsample=0):
     import dataclasses
 
     import jax.numpy as jnp
@@ -107,6 +108,7 @@ def run_ours(img_a, img_b, first_octave, total_capacity, octave_capacity):
         pyramid=PyramidParams(first_octave=first_octave),
         dog=DoGParams(capacity=octave_capacity),
         total_capacity=total_capacity,
+        orientation_downsample=orientation_downsample,
     )
     t0 = time.perf_counter()
     ka = compute_sift_keypoints(jnp.asarray(img_a), params)
@@ -156,6 +158,7 @@ def main():
     ap.add_argument("--total-capacity", type=int, default=8192)
     ap.add_argument("--octave-capacity", type=int, default=4096)
     ap.add_argument("--image", default="/root/reference/data/sunflowerField.jpg")
+    ap.add_argument("--orientation-downsample", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -175,7 +178,7 @@ def main():
         f"matches {m_cv} correct {cor_cv}")
 
     ours = run_ours(img, warped, args.first_octave, args.total_capacity,
-                    args.octave_capacity)
+                    args.octave_capacity, args.orientation_downsample)
     rep, n = repeatability(ours[0], ours[1], H, h, w)
     cor, m = match_quality(ours[0], ours[1], ours[2], H)
     log(f"ours(fo={args.first_octave}): kp {len(ours[0])}/{len(ours[1])} "
