@@ -44,6 +44,11 @@ class GlobalSfMConfig:
     rel_pose_threshold_px: float = 4.0
     min_pair_inliers: int = 30
     translation_iters: int = 50
+    # LM pose-graph refinement over the epipolar graph between averaging
+    # and triangulation (edge translations re-scaled by the averaged
+    # baselines): polishes the averaging initialization jointly before
+    # points exist. 0 disables.
+    pose_graph_iters: int = 15
     min_track_length: int = 2
     ba_options: BAOptions = field(default_factory=lambda: BAOptions(max_iters=30))
     # Pairs per device dispatch for the match+relative-pose stage. 0 keeps
@@ -287,6 +292,44 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
                                      iters=config.translation_iters)
     t_abs = np.stack([-R_abs[v] @ centers[v] for v in range(V)])
     _mark("translation_averaging")
+
+    # --- Stage 4b: pose-graph polish over the epipolar graph. ---
+    if config.pose_graph_iters > 0 and len(edges) >= V:
+        from sara_tpu.sfm.pose_graph_opt import (PoseGraphProblem,
+                                                 optimize_pose_graph)
+
+        E_n = len(edges)
+        poses6 = np.zeros((V, 6))
+        for v in range(V):
+            poses6[v, :3] = np.asarray(lie.so3_log(jnp.asarray(R_abs[v])))
+            poses6[v, 3:] = t_abs[v]
+        rel = np.zeros((E_n, 6))
+        ok_e = np.zeros(E_n, bool)
+        for k, ((a, b), Rr, tu) in enumerate(zip(edges, edge_R, edge_t)):
+            # Metric edge translation: unit direction scaled by the
+            # averaged baseline length.
+            s_e = float(np.linalg.norm(centers[b] - centers[a]))
+            if s_e < 1e-9:
+                continue
+            rel[k, :3] = np.asarray(lie.so3_log(jnp.asarray(Rr)))
+            rel[k, 3:] = s_e * tu
+            ok_e[k] = True
+        prob_pg = PoseGraphProblem(
+            poses=jnp.asarray(poses6),
+            edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+            edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+            rel_pose=jnp.asarray(rel),
+            weight=jnp.ones(E_n),
+            edge_mask=jnp.asarray(ok_e),
+            pose_fixed=jnp.asarray([True] + [False] * (V - 1)),
+        )
+        out_pg, _info_pg = optimize_pose_graph(
+            prob_pg, max_iters=config.pose_graph_iters)
+        p6 = np.asarray(out_pg.poses)
+        R_abs = np.stack([np.asarray(lie.so3_exp(jnp.asarray(p6[v, :3])))
+                          for v in range(V)])
+        t_abs = p6[:, 3:]
+        _mark("pose_graph_polish")
 
     # --- Stage 5: tracks + multi-view triangulation. ---
     tracker.compute_tracks(config.min_track_length)
