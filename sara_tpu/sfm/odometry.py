@@ -354,11 +354,25 @@ class OdometryPipeline:
         # and re-key the map to the merged representatives.
         self.point_cloud.propagate(self.tracker)
 
-        # Absolute pose of the new frame.
+        # Absolute pose of the new frame + new scene points. The PnP
+        # RANSAC and the two-view triangulation fuse into ONE device
+        # program when both apply (each separate dispatch costs a ~27 ms
+        # round-trip on the target runtime).
         R_prev, t_prev = self.pose_graph.pose(prev_frame)
         pose_from_pnp = False
-        if len(self.pose_graph) >= 2 and self.point_cloud.num_points >= 8:
-            got = self._estimate_pnp(fid, kp_host)
+        tri_result = None
+        pnp_prep = (self._prep_pnp(fid, kp_host)
+                    if len(self.pose_graph) >= 2
+                    and self.point_cloud.num_points >= 8 else None)
+        tri_prep = self._prep_triangulation(prev_frame, fid,
+                                            mi[inl], mj[inl], kp_host)
+        if pnp_prep is not None and tri_prep is not None:
+            got = self._pnp_triangulate(pnp_prep, tri_prep, R_prev, t_prev)
+            if got is not None:
+                R_abs, t_abs, tri_result = got
+                pose_from_pnp = True
+        elif pnp_prep is not None:
+            got = self._estimate_pnp_prepared(pnp_prep)
             if got is not None:
                 R_abs, t_abs = got
                 pose_from_pnp = True
@@ -378,7 +392,10 @@ class OdometryPipeline:
         self._prev_keypoints = kp
 
         # Grow the map from fresh two-view tracks, then bundle adjust.
-        self._triangulate_new_tracks(prev_frame, v_id, mi[inl], mj[inl])
+        if tri_result is not None:
+            self._commit_triangulation(tri_prep, *tri_result)
+        elif tri_prep is not None:
+            self._triangulate_prepared(prev_frame, v_id, tri_prep)
         self._frames_since_ba += 1
         if (len(self.pose_graph) >= 3
                 and self._frames_since_ba >= self.cfg.ba_every):
@@ -388,6 +405,21 @@ class OdometryPipeline:
 
     # -- stages -------------------------------------------------------------
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=(
+        "threshold_px", "num_samples", "min_inliers"))
+    def _pnp_tri_static(key, X, rays, uv, mask, ra, rb, K, R_prev, t_prev,
+                        threshold_px, num_samples, min_inliers):
+        res, R, t = estimate_absolute_pose(
+            key, X, rays, uv, K, mask, threshold_px=threshold_px,
+            num_samples=num_samples, min_inliers=min_inliers)
+        R_rel = R @ R_prev.T
+        t_rel = t - R_rel @ t_prev
+        Xc, d1, d2 = triangulate_linear(R_rel, t_rel, ra, rb)
+        # Prev-camera frame -> world.
+        Xw = (Xc - t_prev) @ R_prev
+        return res.success, R, t, Xw, (d1 > 0) & (d2 > 0)
+
     def _accept_first_frame(self, kp, kp_host, frame_index):
         self.pose_graph.add_absolute_pose(np.eye(3), np.zeros(3), frame_index)
         fid = self.tracker.add_frame(kp.capacity, kp_host["response"])
@@ -396,9 +428,9 @@ class OdometryPipeline:
         self._pending_image = None
         self._prev_keypoints = kp
 
-    def _estimate_pnp(self, fid: int, kp_host):
-        """PnP of the current frame against the existing map
-        (reference: CameraPoseEstimator.cpp:78-189)."""
+    def _prep_pnp(self, fid: int, kp_host):
+        """Host prep of the PnP inputs (track->scene-point association).
+        Returns padded (X, rays, uv, mask, n) or None."""
         feat_idx, track_ids = self.tracker.tracks_in_frame(fid)
         if len(feat_idx) == 0:
             return None
@@ -415,65 +447,113 @@ class OdometryPipeline:
         cap = _bucket(len(X))
         mask = np.zeros(cap, bool)
         mask[: len(X)] = True
-        res, R, t = estimate_absolute_pose(
-            self._next_key(),
-            jnp.asarray(_pad_to(X, cap)), jnp.asarray(_pad_to(rays, cap)),
-            jnp.asarray(_pad_to(uv, cap)), jnp.asarray(self.K),
-            jnp.asarray(mask),
-            threshold_px=self.cfg.pnp_threshold_px,
-            num_samples=self.cfg.pnp_samples,
-            min_inliers=min(self.cfg.pnp_min_inliers, max(6, len(X) // 2)))
-        success, R, t = jax.device_get((res.success, R, t))  # one transfer
-        if not bool(success):
-            return None
-        return np.asarray(R, float), np.asarray(t, float)
+        return (_pad_to(X, cap), _pad_to(rays, cap), _pad_to(uv, cap),
+                mask, len(X))
 
-    def _triangulate_new_tracks(self, va: int, vb: int, ia, ib):
-        """Create scene points for inlier matches whose tracks lack one
-        (reference: PointCloudGenerator::grow_point_cloud, .cpp:289-427)."""
+    def _prep_triangulation(self, va: int, vb: int, ia, ib, kp_host):
+        """Host prep of the new-track triangulation inputs. Returns
+        (reps_sel, xb_sel, padded rays_a, rays_b, mask) or None."""
         if len(ia) == 0:
-            return
+            return None
         tracks = self.tracker.track_of_feature
         ga = self.tracker.global_id(self.frames[va]["tracker_id"], ia)
-        gb = self.tracker.global_id(self.frames[vb]["tracker_id"], ib)
         ta = tracks[ga]
         # Scene points key on STABLE representatives, not the
         # generation-local dense track ids.
         reps = self.tracker.rep_of_tracks(ta)
         need = [k for k in range(len(ia))
-                if ta[k] >= 0 and not self.point_cloud.track_has_point(int(reps[k]))]
+                if ta[k] >= 0
+                and not self.point_cloud.track_has_point(int(reps[k]))]
         if not need:
-            return
+            return None
         sel = np.asarray(need)
         xa = self.frames[va]["kp"]["xy"][np.asarray(ia)[sel]]
-        xb = self.frames[vb]["kp"]["xy"][np.asarray(ib)[sel]]
-        Ra, tA = self.pose_graph.pose(va)
-        Rb, tB = self.pose_graph.pose(vb)
-        # Relative motion a -> b.
-        R = Rb @ Ra.T
-        t = tB - R @ tA
+        xb = kp_host["xy"][np.asarray(ib)[sel]]
         ra = self._rays(xa)
         rb = self._rays(xb)
+        cap = _bucket(len(sel))
+        mask = np.zeros(cap, bool)
+        mask[: len(sel)] = True
+        return (reps[sel], xb, _pad_to(ra, cap), _pad_to(rb, cap), mask)
+
+    def _estimate_pnp_prepared(self, prep):
+        """PnP of the current frame against the existing map
+        (reference: CameraPoseEstimator.cpp:78-189)."""
+        X, rays, uv, mask, n = prep
+        res, R, t = estimate_absolute_pose(
+            self._next_key(),
+            jnp.asarray(X), jnp.asarray(rays), jnp.asarray(uv),
+            jnp.asarray(self.K), jnp.asarray(mask),
+            threshold_px=self.cfg.pnp_threshold_px,
+            num_samples=self.cfg.pnp_samples,
+            min_inliers=min(self.cfg.pnp_min_inliers, max(6, n // 2)))
+        success, R, t = jax.device_get((res.success, R, t))  # one transfer
+        if not bool(success):
+            return None
+        return np.asarray(R, float), np.asarray(t, float)
+
+    def _pnp_triangulate(self, pnp_prep, tri_prep, R_prev, t_prev):
+        """ONE device program: PnP RANSAC + triangulation of the new
+        tracks with the PnP pose. Returns (R, t, (Xw, cheiral)) or None."""
+        X, rays, uv, mask, n = pnp_prep
+        _, _, ra, rb, mask_t = tri_prep
+        success, R, t, Xw, cheiral = self._pnp_tri_static(
+            self._next_key(), jnp.asarray(X), jnp.asarray(rays),
+            jnp.asarray(uv), jnp.asarray(mask), jnp.asarray(ra),
+            jnp.asarray(rb), jnp.asarray(self.K),
+            jnp.asarray(np.asarray(R_prev)), jnp.asarray(np.asarray(t_prev)),
+            threshold_px=self.cfg.pnp_threshold_px,
+            num_samples=self.cfg.pnp_samples,
+            min_inliers=min(self.cfg.pnp_min_inliers, max(6, n // 2)))
+        success, R, t, Xw, cheiral = jax.device_get(
+            (success, R, t, Xw, cheiral))
+        if not bool(success):
+            return None
+        cheiral = cheiral & mask_t
+        return (np.asarray(R, float), np.asarray(t, float),
+                (np.asarray(Xw), cheiral))
+
+    def _commit_triangulation(self, tri_prep, Xw, cheiral):
+        """Host-side map growth from fused-program triangulation output."""
+        reps_sel, xb, *_ = tri_prep
+        k = len(reps_sel)
+        self.point_cloud.add_points(
+            reps_sel[cheiral[:k]], Xw[:k][cheiral[:k]],
+            self._sample_colors(xb, cheiral[:k]))
+
+    def _triangulate_prepared(self, va: int, vb: int, tri_prep):
+        """Standalone triangulation dispatch (PnP-less path; reference:
+        PointCloudGenerator::grow_point_cloud, .cpp:289-427)."""
+        reps_sel, xb, ra, rb, mask_t = tri_prep
+        Ra, tA = self.pose_graph.pose(va)
+        Rb, tB = self.pose_graph.pose(vb)
+        R = Rb @ Ra.T
+        t = tB - R @ tA
         X, d1, d2 = triangulate_linear(jnp.asarray(R), jnp.asarray(t),
                                        jnp.asarray(ra), jnp.asarray(rb))
         X, d1, d2 = jax.device_get((X, d1, d2))  # one transfer
-        cheiral = (d1 > 0) & (d2 > 0)
+        cheiral = (d1 > 0) & (d2 > 0) & mask_t
         # Camera-a frame -> world: Xw = Ra^T (Xc - tA).
         Xw = (Ra.T @ (X.T - tA[:, None])).T
-        # Colors: sample the newest frame's pixels at the observed keypoint
-        # (reference retrieve_scene_point_color projects the scene point
-        # into the frame, PointCloudGenerator.cpp:376-427 — equivalent up
-        # to reprojection error, with no extra projection pass).
-        colors = None
-        img = self.frames[vb].get("image")
-        if img is not None:
-            h_i, w_i = img.shape[:2]
-            xs = np.clip(np.round(xb[:, 0]).astype(int), 0, w_i - 1)
-            ys = np.clip(np.round(xb[:, 1]).astype(int), 0, h_i - 1)
-            px = img[ys, xs]
-            colors = (np.repeat(px[:, None], 3, axis=1) if px.ndim == 1
-                      else np.asarray(px)[:, :3])[cheiral]
-        self.point_cloud.add_points(reps[sel][cheiral], Xw[cheiral], colors)
+        k = len(reps_sel)
+        self.point_cloud.add_points(
+            reps_sel[cheiral[:k]], Xw[:k][cheiral[:k]],
+            self._sample_colors(xb, cheiral[:k]))
+
+    def _sample_colors(self, xb, keep):
+        """Colors from the newest frame's pixels at the observed keypoint
+        (reference retrieve_scene_point_color projects the scene point,
+        PointCloudGenerator.cpp:376-427 — equivalent up to reprojection
+        error, with no extra projection pass)."""
+        img = self.frames[-1].get("image") if self.frames else None
+        if img is None:
+            return None
+        h_i, w_i = img.shape[:2]
+        xs = np.clip(np.round(xb[:, 0]).astype(int), 0, w_i - 1)
+        ys = np.clip(np.round(xb[:, 1]).astype(int), 0, h_i - 1)
+        px = img[ys, xs]
+        return (np.repeat(px[:, None], 3, axis=1) if px.ndim == 1
+                else np.asarray(px)[:, :3])[keep]
 
     def _bundle_adjust(self):
         """Windowed BA over the latest poses (the reference adjusts the whole
