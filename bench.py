@@ -173,12 +173,30 @@ def main():
         log("quality gate failed:", e)
         quality = {}
     vs = ours_fps / cv_fps if cv_fps == cv_fps else 1.0
+    # Roofline accounting (BASELINE config 4 "speed-of-light" demand):
+    # estimated FLOPs/bytes per frame vs the measured per-frame time.
+    try:
+        from sara_tpu.utils.roofline import sift_frame
+
+        est = sift_frame(a.shape[0], a.shape[1], first_octave=-1,
+                         keypoints=4096)
+        measured = 1.0 / ours_fps
+        roof = {
+            "frame_gflop": round(est.flops / 1e9, 2),
+            "frame_mb": round(est.bytes / 1e6, 1),
+            "roofline_frac": round(est.achieved_fraction(measured), 4),
+            "roofline_bound": est.bound(),
+        }
+    except Exception as e:
+        log("roofline failed:", e)
+        roof = {}
     print(json.dumps({
         "metric": "two_view_sift_detect_describe_match_throughput",
         "value": round(ours_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 3),
         **quality,
+        **roof,
     }))
 
 

@@ -231,3 +231,21 @@ def test_edge_chain_ordering_is_a_path():
     for ch in chains:
         steps = np.abs(np.diff(ch, axis=0))
         assert (steps.max(axis=1) <= 1.5).all()
+
+
+def test_line_segments_on_real_image():
+    """Chain-based LSD on the reference's real edge test image
+    (data/sift_edge.jpg — a picture with strong straight structures)."""
+    import PIL.Image
+    import jax.numpy as jnp
+
+    from sara_tpu.image.edge_chains import (LineSegmentParams,
+                                            detect_line_segments)
+
+    img = PIL.Image.open("/root/reference/data/sift_edge.jpg").convert("L")
+    a = np.asarray(img, np.float32) / 255.0
+    segs = detect_line_segments(jnp.asarray(a),
+                                LineSegmentParams(min_length=20.0))
+    assert len(segs) >= 5
+    lengths = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1)
+    assert lengths.max() > 50  # the dominant long edges are recovered
