@@ -125,7 +125,16 @@ def _translation_averaging_jit(ei: jnp.ndarray, ej: jnp.ndarray,
         # (their centers collapse to ~0, the minimum-norm choice).
         c2 = jnp.linalg.solve(L + 1e-6 * eye, rhs)
         d2 = c2[ej] - c2[ei]
-        s2 = jnp.maximum(jnp.einsum("ed,ed->e", d2, u_dirs), s_min)
+        s2 = jnp.einsum("ed,ed->e", d2, u_dirs)
+        # Scale gauge: pin the MEDIAN baseline to s_min instead of
+        # clamping every s_e >= s_min (the hard clamp biased short
+        # baselines upward); negatives (direction-inconsistent edges)
+        # are floored near zero so they cannot flip the solution.
+        med = jnp.nanmedian(jnp.where(s2 > 0, s2, jnp.nan))
+        med = jnp.where(jnp.isnan(med), 1.0, med)
+        scale = s_min / jnp.maximum(med, 1e-9)
+        s2 = jnp.maximum(s2 * scale, 0.05 * s_min)
+        c2 = c2 * scale
         return c2, s2
 
     c0 = jnp.zeros((n, 3), dt)

@@ -105,6 +105,7 @@ def main():
     ap.add_argument("--samples", type=int, default=256,
                     help="RANSAC hypotheses per pair")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ba-iters", type=int, default=40)
     args = ap.parse_args()
 
     if args.cpu:
@@ -128,7 +129,7 @@ def main():
 
     cfg = GlobalSfMConfig(rel_pose_samples=args.samples,
                           min_pair_inliers=20, pair_chunk=args.chunk,
-                          ba_options=BAOptions(max_iters=20))
+                          ba_options=BAOptions(max_iters=args.ba_iters))
 
     t0 = time.perf_counter()
     out = run_global_sfm(kps, K, pairs=pairs, config=cfg)
