@@ -70,7 +70,7 @@ def quality_vs_opencv(img):
     xy_cv_a, xy_cv_b, pairs_cv, _ = q.run_opencv(img, warped)
     rep_cv, _ = q.repeatability(xy_cv_a, xy_cv_b, H, h, w)
     cor_cv, _ = q.match_quality(xy_cv_a, xy_cv_b, pairs_cv, H)
-    xy_a, xy_b, pairs, _ = q.run_ours(img, warped, -1, 6144, 2048)
+    xy_a, xy_b, pairs, _ = q.run_ours(img, warped, -1, 6144, 3072)
     rep, _ = q.repeatability(xy_a, xy_b, H, h, w)
     cor, _ = q.match_quality(xy_a, xy_b, pairs, H)
     out = {
@@ -176,10 +176,17 @@ def main():
     # Roofline accounting (BASELINE config 4 "speed-of-light" demand):
     # estimated FLOPs/bytes per frame vs the measured per-frame time.
     try:
-        from sara_tpu.utils.roofline import sift_frame
+        from sara_tpu.utils.roofline import Estimate, match_pair, sift_frame
 
-        est = sift_frame(a.shape[0], a.shape[1], first_octave=-1,
-                         keypoints=4096)
+        # Per-frame estimate at the ACTUAL bench configuration: SIFT at
+        # total_capacity 6144 plus half of the per-pair matching GEMM
+        # (measured time is per frame = per half-pair).
+        cap = 6144
+        sift_est = sift_frame(a.shape[0], a.shape[1], first_octave=-1,
+                              keypoints=cap)
+        m_est = match_pair(cap, cap)
+        est = Estimate(sift_est.flops + 0.5 * m_est.flops,
+                       sift_est.bytes + 0.5 * m_est.bytes)
         measured = 1.0 / ours_fps
         roof = {
             "frame_gflop": round(est.flops / 1e9, 2),

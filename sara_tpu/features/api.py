@@ -44,14 +44,15 @@ class SIFTParams:
     (SfM/BuildingBlocks/FeatureParams.hpp:10, `ImagePyramidParams(0)`).
     """
 
-    # Per-octave capacity 2048: 3072 reproducibly CRASHES the TPU worker
-    # ("kernel fault") in the composite fo=-1 program at 480x640 — every
-    # stage passes in isolation at 3072, so this is an XLA/runtime bug we
-    # route around; 2048 measures kp 0.87x / correct-matches 0.91x of
-    # OpenCV on the bundled pair (within the parity band).
+    # Per-octave capacity 3072 (parity config: kp 1.06x OpenCV on the
+    # bundled pair). Round 2 this reproducibly CRASHED the TPU worker
+    # ("kernel fault") in the composite fo=-1 program at 480x640; the
+    # bisect landed on large-k lax.top_k (k=3072/6144) — every top-k in
+    # the program now routes through ops.topk.chunked_top_k (k<=1024
+    # passes), which runs clean at this capacity.
     pyramid: PyramidParams = field(
         default_factory=lambda: PyramidParams(first_octave=-1))
-    dog: DoGParams = field(default_factory=lambda: DoGParams(capacity=2048))
+    dog: DoGParams = field(default_factory=lambda: DoGParams(capacity=3072))
     max_orientations: int = 2
     total_capacity: int = 6144
     descriptor_bilinear: bool = False  # nearest sampling: 4x fewer gathers,
@@ -189,7 +190,9 @@ def _compute_sift_jit(image: jnp.ndarray, params: SIFTParams) -> Keypoints:
                 [f, jnp.zeros((pad,) + f.shape[1:], f.dtype)], axis=0)
                 for f in merged))
         return merged
-    _, idx = jax.lax.top_k(score, cap)
+    from sara_tpu.ops.topk import chunked_top_k
+
+    _, idx = chunked_top_k(score, cap)
     return Keypoints(
         xy=merged.xy[idx],
         scale=merged.scale[idx],

@@ -207,11 +207,23 @@ def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
     y1 = jnp.minimum(y0 + 1, Hc - 1)
     fx = (xc - x0)[..., None].astype(jnp.float32)
     fy = (yc - y0)[..., None].astype(jnp.float32)
-    si = s_idx[:, None]
-    F = (maps[si, y0, x0].astype(jnp.float32) * (1 - fx) * (1 - fy)
-         + maps[si, y0, x1].astype(jnp.float32) * fx * (1 - fy)
-         + maps[si, y1, x0].astype(jnp.float32) * (1 - fx) * fy
-         + maps[si, y1, x1].astype(jnp.float32) * fx * fy)   # (K, 16, 36)
+    # Flat single-axis row gather: the multi-axis advanced-indexing form
+    # maps[si, y, x] reproducibly kernel-faults the TPU runtime at
+    # K >= ~3840 (round-3 bisect, scripts/probe_fault_desc.py); a linear
+    # row index into the (S*Hc*Wc, 36) view lowers to the canonical 1-D
+    # gather and is also the layout-friendliest form.
+    flat = maps.reshape(S * Hc * Wc, FB)
+    base = s_idx[:, None] * (Hc * Wc)
+
+    def take(yy, xx):
+        lin = (base + yy * Wc + xx).reshape(-1)
+        return jnp.take(flat, lin, axis=0).reshape(K, -1, FB) \
+            .astype(jnp.float32)
+
+    F = (take(y0, x0) * (1 - fx) * (1 - fy)
+         + take(y0, x1) * fx * (1 - fy)
+         + take(y1, x0) * (1 - fx) * fy
+         + take(y1, x1) * fx * fy)                            # (K, 16, 36)
 
     # Collapse 36 fine orientation channels into 8 theta-rotated coarse bins
     # with the exact path's circular triangle weights (bins centered at

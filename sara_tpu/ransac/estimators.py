@@ -138,14 +138,17 @@ def estimate_relative_pose(key, u, v, mask, K1, K2,
     # The algebraic IRLS refit above is biased — measured ~0.3 deg rotation
     # error at 0.3 px noise / 300 points, ~10x above the GN optimum; every
     # downstream stage (rotation averaging, windowed BA init) inherits it.
-    R, t = refine_relative_pose(R, t, un, vn,
-                                res.inliers.astype(un.dtype))
-    E_pol = _cross_mat(t) @ R
+    R_pol, t_pol = refine_relative_pose(R, t, un, vn,
+                                        res.inliers.astype(un.dtype))
+    E_pol = _cross_mat(t_pol) @ R_pol
     E_pol = E_pol / jnp.linalg.norm(E_pol)
     r_pol = sampson_epipolar_distance(E_pol, un, vn)
     inl_pol = (r_pol < thr) & mask
-    # Keep the polished model only if it does not lose inliers.
+    # Keep the polished model only if it does not lose inliers; gate the
+    # returned (R, t) on the SAME flag so pose and model stay consistent.
     better = jnp.sum(inl_pol) >= res.num_inliers
+    R = jnp.where(better, R_pol, R)
+    t = jnp.where(better, t_pol, t)
     res = res._replace(
         model=jnp.where(better, E_pol, res.model),
         inliers=jnp.where(better, inl_pol, res.inliers))

@@ -95,10 +95,16 @@ class PointCloudGenerator:
             if e - s > 1:
                 bary = self.points[members].mean(axis=0)
                 col = self.colors[members].mean(axis=0)
-                self.points[members] = bary
-                self.colors[members] = col
+                self.points[first] = bary
+                self.colors[first] = col
             new_map[int(canon_o[s])] = first
-        self.scene_point_of_track = new_map
+        # Compact: drop the non-kept duplicate rows (they would otherwise
+        # overcount num_points, miss BA refreshes, and leak into exports).
+        live = np.asarray(sorted(set(new_map.values())), np.int64)
+        remap = {int(old): new for new, old in enumerate(live)}
+        self.points = self.points[live] if len(live) else np.zeros((0, 3))
+        self.colors = self.colors[live] if len(live) else np.zeros((0, 3))
+        self.scene_point_of_track = {t: remap[i] for t, i in new_map.items()}
 
     def update_points(self, track_ids, xyz: np.ndarray):
         """Overwrite positions of existing tracks' scene points (e.g. after

@@ -134,8 +134,12 @@ class FeatureTracker:
         (-1 passes through)."""
         tids = np.asarray(tids, np.int64)
         reps = self.rep_of_track
-        safe = np.clip(tids, 0, max(len(reps) - 1, 0))
-        return np.where((tids >= 0) & (len(reps) > 0), reps[safe], -1)
+        if reps is None or len(reps) == 0:
+            # No tracks yet (e.g. 2nd VO frame with min_track_length >= 3):
+            # reps[safe] below would index an empty table.
+            return np.full(tids.shape, -1, np.int64)
+        safe = np.clip(tids, 0, len(reps) - 1)
+        return np.where(tids >= 0, reps[safe], -1)
 
     def canonical_rep(self, gids) -> np.ndarray:
         """Current canonical representative of the component containing

@@ -100,6 +100,17 @@ def sift_frame(H: int, W: int, scales: int = 3, first_octave: int = -1,
                     f"SIFT {H}x{W} fo={first_octave} K={keypoints}")
 
 
+def match_pair(k1: int, k2: int, dim: int = 128,
+               dtype_bytes: int = 4) -> Estimate:
+    """Brute-force descriptor matching of a (k1, dim) x (k2, dim) pair:
+    one GEMM + top-2 row reductions + mutual check."""
+    gemm_flops = 2.0 * k1 * k2 * dim
+    reduce_flops = 4.0 * k1 * k2
+    flops = gemm_flops + reduce_flops
+    bytes_ = (k1 + k2) * dim * dtype_bytes + k1 * k2 * dtype_bytes
+    return Estimate(flops, bytes_, f"match {k1}x{k2} d={dim}")
+
+
 def report(name: str, est: Estimate, measured_seconds: float,
            peak_flops: float = PEAK_F32_FLOPS) -> str:
     frac = est.achieved_fraction(measured_seconds, peak_flops)
