@@ -186,10 +186,11 @@ def ellipse_points(center, axes, angle, n: int = 64) -> jnp.ndarray:
                       center[1] + sa * x + ca * y], axis=-1)
 
 
-def ellipse_intersection_area(c1, a1, t1, c2, a2, t2, n: int = 256) -> float:
+def ellipse_intersection_area_polygonal(c1, a1, t1, c2, a2, t2,
+                                        n: int = 256) -> float:
     """Area of intersection of two ellipses by polygon clipping of dense
-    boundary samplings (reference: EllipseIntersection.cpp solves the quartic
-    analytically; the polygonal approximation here converges ~O(1/n^2))."""
+    boundary samplings (reference: EllipseIntersection.cpp
+    ``approximate_intersection``; converges ~O(1/n^2))."""
     p1 = np.asarray(ellipse_points(jnp.asarray(c1), jnp.asarray(a1),
                                    jnp.asarray(t1), n))
     p2 = np.asarray(ellipse_points(jnp.asarray(c2), jnp.asarray(a2),
@@ -198,3 +199,227 @@ def ellipse_intersection_area(c1, a1, t1, c2, a2, t2, n: int = 256) -> float:
     if len(inter) < 3:
         return 0.0
     return abs(polygon_area(inter))
+
+
+# ---------------------------------------------------------------------------
+# Exact ellipse intersection (conic pencil + quartic resultant).
+# Host-side float64 — the reference runs this on CPU doubles too
+# (reference: Geometry/Algorithms/EllipseIntersection.cpp:40-316,
+# Objects/Ellipse.hpp:100-137 polar antiderivative / sector / segment areas).
+# ---------------------------------------------------------------------------
+
+def _shape_matrix(axes, angle):
+    """M with (p-c)^T M (p-c) = 1 on the boundary."""
+    ca, sa = np.cos(angle), np.sin(angle)
+    R = np.array([[ca, -sa], [sa, ca]])
+    D = np.diag([1.0 / axes[0] ** 2, 1.0 / axes[1] ** 2])
+    return R @ D @ R.T
+
+
+def conic_equation_of_ellipse(center, axes, angle):
+    """Coefficients (s0..s5) of s0 + s1 x + s2 y + s3 x^2 + s4 xy + s5 y^2
+    (reference: EllipseIntersection.cpp::conic_equation)."""
+    c = np.asarray(center, float)
+    M = _shape_matrix(np.asarray(axes, float), float(angle))
+    s = np.empty(6)
+    s[0] = c @ M @ c - 1.0
+    s[1] = -2.0 * (M[0, 0] * c[0] + M[0, 1] * c[1])
+    s[2] = -2.0 * (M[1, 0] * c[0] + M[1, 1] * c[1])
+    s[3] = M[0, 0]
+    s[4] = 2.0 * M[0, 1]
+    s[5] = M[1, 1]
+    return s
+
+
+def _quartic_in_y(s, t):
+    """Degree-4 resultant polynomial in y of the conic pencil
+    (reference: EllipseIntersection.cpp::quartic_equation). Returns
+    coefficients [u0..u4] (ascending)."""
+    d = s[:, None] * t[None, :] - s[None, :] * t[:, None]
+    u = np.empty(5)
+    u[0] = d[3, 1] * d[1, 0] - d[3, 0] ** 2
+    u[1] = (d[3, 4] * d[1, 0] + d[3, 1] * (d[4, 0] + d[1, 2])
+            - 2 * d[3, 2] * d[3, 0])
+    u[2] = (d[3, 4] * (d[4, 0] + d[1, 2]) + d[3, 1] * (d[4, 2] - d[5, 1])
+            - d[3, 2] ** 2 - 2 * d[3, 5] * d[3, 0])
+    u[3] = (d[3, 4] * (d[4, 2] - d[5, 1]) + d[3, 1] * d[4, 5]
+            - 2 * d[3, 5] * d[3, 2])
+    u[4] = d[3, 4] * d[4, 5] - d[3, 5] ** 2
+    return u
+
+
+def _conic_at(s, x, y):
+    return (s[0] + s[1] * x + s[2] * y + s[3] * x * x + s[4] * x * y
+            + s[5] * y * y)
+
+
+def ellipse_intersection_points(c1, a1, t1, c2, a2, t2,
+                                polish: bool = True) -> np.ndarray:
+    """Exact intersection points of two ellipse boundaries (<= 4 points).
+
+    Conic-pencil quartic in y, then per-root linear (or quadratic) solve in
+    x (reference: EllipseIntersection.cpp::compute_intersection_points).
+    """
+    center = 0.5 * (np.asarray(c1, float) + np.asarray(c2, float))
+    s = conic_equation_of_ellipse(np.asarray(c1, float) - center, a1, t1)
+    t = conic_equation_of_ellipse(np.asarray(c2, float) - center, a2, t2)
+    u = _quartic_in_y(s, t)
+    if abs(u[4]) < 1e-15 * max(1.0, np.abs(u).max()):
+        deg = np.nonzero(np.abs(u) > 1e-15 * max(1.0, np.abs(u).max()))[0]
+        u_trim = u[:deg[-1] + 1] if len(deg) else u[:1]
+    else:
+        u_trim = u
+    if len(u_trim) < 2:
+        return np.zeros((0, 2))
+    roots = np.roots(u_trim[::-1] / u_trim[-1])
+    ys = [float(r.real) for r in roots
+          if abs(r.imag) < 1e-2 * max(abs(r.real), 1e-12)]
+    ys.sort()
+    # Dedupe near-equal roots.
+    dedup = []
+    for y in ys:
+        if not dedup or abs(y - dedup[-1]) > 1e-4:
+            dedup.append(y)
+    if polish:
+        coeffs_desc = u_trim[::-1]
+        dcoeffs = np.polyder(coeffs_desc)
+        dedup = [_newton_polish(coeffs_desc, dcoeffs, y) for y in dedup]
+
+    pts = []
+    for y in dedup:
+        sig = np.array([_conic_at(s, 0, y), s[1] + s[4] * y, s[3]])
+        tau = np.array([_conic_at(t, 0, y), t[1] + t[4] * y, t[3]])
+        denom = sig[1] * tau[2] - sig[2] * tau[1]
+        cands = []
+        if abs(denom) < 1e-12:
+            disc = sig[1] ** 2 - 4 * sig[2] * sig[0]
+            if disc >= 0 and abs(sig[2]) > 1e-15:
+                sq = np.sqrt(disc)
+                cands = [(-sig[1] + sq) / (2 * sig[2]),
+                         (-sig[1] - sq) / (2 * sig[2])]
+        else:
+            cands = [(sig[2] * tau[0] - sig[0] * tau[2]) / denom]
+        for x in cands:
+            if abs(_conic_at(s, x, y)) < 1e-2 and abs(_conic_at(t, x, y)) < 1e-2:
+                pts.append((x, y))
+    # Dedupe points.
+    out = []
+    for p in pts:
+        if all((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2 > 1e-8 for q in out):
+            out.append(p)
+    return np.asarray(out).reshape(-1, 2) + center
+
+
+def _newton_polish(coeffs_desc, dcoeffs_desc, y, iters: int = 10):
+    for _ in range(iters):
+        f = np.polyval(coeffs_desc, y)
+        df = np.polyval(dcoeffs_desc, y)
+        if abs(df) < 1e-15:
+            break
+        step = f / df
+        y = y - step
+        if abs(step) < 1e-14 * max(1.0, abs(y)):
+            break
+    return y
+
+
+def _polar_antiderivative(a, b, theta):
+    """Antiderivative of the ellipse polar-area integrand
+    (reference: Ellipse.hpp:104-113)."""
+    y = (b - a) * np.sin(2 * theta)
+    x = (b + a) + (b - a) * np.cos(2 * theta)
+    return a * b * 0.5 * (theta - np.arctan2(y, x))
+
+
+def ellipse_sector_area(axes, theta0, theta1) -> float:
+    """Positive area of the CCW sector from angle theta0 to theta1
+    (geometric angles in the ellipse frame; reference: Ellipse.hpp:126-129)."""
+    a, b = float(axes[0]), float(axes[1])
+    return _polar_antiderivative(a, b, theta1) - _polar_antiderivative(a, b, theta0)
+
+
+def _ellipse_point_at(center, axes, angle, theta):
+    """Boundary point at geometric polar angle theta in the ellipse frame
+    (reference: Ellipse.cpp::rho / operator())."""
+    a, b = float(axes[0]), float(axes[1])
+    c, sn = np.cos(theta), np.sin(theta)
+    r = a * b / np.sqrt(b * b * c * c + a * a * sn * sn)
+    ca, sa = np.cos(angle), np.sin(angle)
+    R = np.array([[ca, -sa], [sa, ca]])
+    return np.asarray(center, float) + R @ (r * np.array([c, sn]))
+
+
+def ellipse_segment_area(axes, center, angle, theta0, theta1) -> float:
+    """Area between the CCW arc theta0->theta1 and its chord
+    (reference: Ellipse.cpp::segment_area)."""
+    p0 = _ellipse_point_at(center, axes, angle, theta0)
+    p1 = _ellipse_point_at(center, axes, angle, theta1)
+    c = np.asarray(center, float)
+    tri = 0.5 * abs(_cross2(p0 - c, p1 - c))
+    sect = ellipse_sector_area(axes, theta0, theta1)
+    if abs(theta1 - theta0) < np.pi:
+        return sect - tri
+    return sect + tri
+
+
+def _ellipse_contains(center, axes, angle, p) -> bool:
+    d = np.asarray(p, float) - np.asarray(center, float)
+    return float(d @ _shape_matrix(np.asarray(axes, float), float(angle)) @ d) <= 1.0
+
+
+def ellipse_intersection_area(c1, a1, t1, c2, a2, t2) -> float:
+    """EXACT area of intersection of two ellipses: quartic intersection
+    points + elliptic-segment decomposition
+    (reference: EllipseIntersection.cpp::analytic_intersection_area).
+    """
+    pts = ellipse_intersection_points(c1, a1, t1, c2, a2, t2)
+    area1 = np.pi * float(a1[0]) * float(a1[1])
+    area2 = np.pi * float(a2[0]) * float(a2[1])
+
+    if len(pts) < 2:
+        if (_ellipse_contains(c1, a1, t1, c2) or
+                _ellipse_contains(c2, a2, t2, c1)):
+            return min(area1, area2)
+        return 0.0
+
+    # Sort intersection points by polar angle about their centroid.
+    centroid = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - centroid[1], pts[:, 0] - centroid[0])
+    pts = pts[np.argsort(ang)]
+    n = len(pts)
+
+    def orientations(center, axes, angle):
+        ca, sa = np.cos(angle), np.sin(angle)
+        u = np.array([ca, sa])
+        v = np.array([-sa, ca])
+        d = pts - np.asarray(center, float)
+        return np.arctan2(d @ v, d @ u)
+
+    o1 = orientations(c1, a1, t1)
+    o2 = orientations(c2, a2, t2)
+
+    area = 0.0
+    for i in range(n):
+        j = (i - 1) % n
+        th0, th1 = o1[j], o1[i]
+        if th0 > th1:
+            th1 += 2 * np.pi
+        ps0, ps1 = o2[j], o2[i]
+        if ps0 > ps1:
+            ps1 += 2 * np.pi
+        area += min(ellipse_segment_area(a1, c1, t1, th0, th1),
+                    ellipse_segment_area(a2, c2, t2, ps0, ps1))
+    if n > 2:
+        for i in range(n):
+            j = (i - 1) % n
+            area += 0.5 * (pts[j, 0] * pts[i, 1] - pts[i, 0] * pts[j, 1])
+    return float(area)
+
+
+def ellipse_jaccard_similarity(c1, a1, t1, c2, a2, t2) -> float:
+    """Exact intersection-over-union of two ellipses
+    (reference: EllipseIntersection.cpp::analytic_jaccard_similarity)."""
+    inter = ellipse_intersection_area(c1, a1, t1, c2, a2, t2)
+    union = (np.pi * float(a1[0]) * float(a1[1])
+             + np.pi * float(a2[0]) * float(a2[1]) - inter)
+    return inter / union if union > 0 else 0.0
