@@ -54,34 +54,66 @@ def load_pair(h=480, w=640):
     return a, b
 
 
+QUALITY_SCENES = ("sunflowerField.jpg", "dog.jpg", "GuardOnBlonde.tif")
+
+
 def quality_vs_opencv(img):
-    """Detection/matching quality on a known-homography warp of ``img``:
-    ours (on the current JAX backend) vs OpenCV SIFT on the same task.
-    Returns dict of ratios (ours/opencv); >= 1.0 means we beat OpenCV.
-    This is the round-1-verdict quality gate: throughput alone is not
-    "matching-or-beating" (a fast detector at 1/3 recall fails)."""
+    """Detection/matching quality on known-homography warps: ours (on the
+    current JAX backend) vs OpenCV SIFT on the same task, over SEVERAL
+    scenes (the round-2 verdict flagged the single-scene gate as
+    anecdotal). Returns headline ratios for the primary scene plus
+    worst-case ratios across all scenes; >= 1.0 means we beat OpenCV."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
+    import PIL.Image
+
     import eval_detection_quality as q
 
-    h, w = img.shape
-    H = q.make_warp(h, w)
-    warped = q.warp_image(img, H)
-    xy_cv_a, xy_cv_b, pairs_cv, _ = q.run_opencv(img, warped)
-    rep_cv, _ = q.repeatability(xy_cv_a, xy_cv_b, H, h, w)
-    cor_cv, _ = q.match_quality(xy_cv_a, xy_cv_b, pairs_cv, H)
-    xy_a, xy_b, pairs, _ = q.run_ours(img, warped, -1, 6144, 3072)
-    rep, _ = q.repeatability(xy_a, xy_b, H, h, w)
-    cor, _ = q.match_quality(xy_a, xy_b, pairs, H)
-    out = {
-        "kp_ratio": round(len(xy_a) / max(len(xy_cv_a), 1), 3),
-        "correct_match_ratio": round(cor / max(cor_cv, 1), 3),
-        "repeatability": round(rep, 3),
-        "repeatability_opencv": round(rep_cv, 3),
+    def eval_scene(im):
+        h, w = im.shape
+        H = q.make_warp(h, w)
+        warped = q.warp_image(im, H)
+        xy_cv_a, xy_cv_b, pairs_cv, _ = q.run_opencv(im, warped)
+        rep_cv, _ = q.repeatability(xy_cv_a, xy_cv_b, H, h, w)
+        cor_cv, _ = q.match_quality(xy_cv_a, xy_cv_b, pairs_cv, H)
+        xy_a, xy_b, pairs, _ = q.run_ours(im, warped, -1, 6144, 3072)
+        rep, _ = q.repeatability(xy_a, xy_b, H, h, w)
+        cor, _ = q.match_quality(xy_a, xy_b, pairs, H)
+        return {
+            "kp_ratio": len(xy_a) / max(len(xy_cv_a), 1),
+            "correct_match_ratio": cor / max(cor_cv, 1),
+            "repeatability": rep,
+            "repeatability_opencv": rep_cv,
+        }
+
+    scenes = {"primary": img}
+    for name in QUALITY_SCENES[1:]:
+        try:
+            f = PIL.Image.open(f"/root/reference/data/{name}")
+            scenes[name] = np.asarray(
+                f.convert("L").resize((640, 480)), np.float32) / 255.0
+        except Exception as e:
+            log(f"scene {name} unavailable: {e}")
+
+    results = {}
+    for name, im in scenes.items():
+        results[name] = eval_scene(im)
+        r = results[name]
+        log(f"quality[{name}]: kp_ratio {r['kp_ratio']:.3f} "
+            f"correct {r['correct_match_ratio']:.3f} "
+            f"rep {r['repeatability']:.3f} vs cv {r['repeatability_opencv']:.3f}")
+
+    pri = results["primary"]
+    return {
+        "kp_ratio": round(pri["kp_ratio"], 3),
+        "correct_match_ratio": round(pri["correct_match_ratio"], 3),
+        "repeatability": round(pri["repeatability"], 3),
+        "repeatability_opencv": round(pri["repeatability_opencv"], 3),
+        "kp_ratio_min": round(min(r["kp_ratio"] for r in results.values()), 3),
+        "correct_match_ratio_min": round(
+            min(r["correct_match_ratio"] for r in results.values()), 3),
+        "quality_scenes": len(results),
     }
-    log(f"quality: ours kp {len(xy_a)} rep {rep:.3f} correct {cor} | "
-        f"opencv kp {len(xy_cv_a)} rep {rep_cv:.3f} correct {cor_cv}")
-    return out
 
 
 def bench_ours(a, b):

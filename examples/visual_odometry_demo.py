@@ -25,7 +25,14 @@ def run_video(args):
     from sara_tpu.sfm import OdometryPipeline, OdometryConfig
 
     K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy], [0, 0, 1.0]])
-    pipe = OdometryPipeline(K, OdometryConfig())
+    cfg = OdometryConfig()
+    if args.live_viewer:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, live_viewer_path=os.path.join(args.out, "viewer.html"),
+            live_viewer_every=args.live_viewer)
+    pipe = OdometryPipeline(K, cfg)
     vs = VideoStream(args.video, num_skips=args.skip)
     n = 0
     for frame in vs:
@@ -51,7 +58,10 @@ def run_synthetic(args):
                                         noise=0.3)
     pipe = OdometryPipeline(K, OdometryConfig(
         rel_pose_samples=200, pnp_samples=200,
-        rel_pose_min_inliers=50, pnp_min_inliers=20))
+        rel_pose_min_inliers=50, pnp_min_inliers=20,
+        live_viewer_path=(os.path.join(args.out, "viewer.html")
+                          if args.live_viewer else ""),
+        live_viewer_every=args.live_viewer or 5))
     for f, kp in enumerate(kps):
         ok = pipe.process_keypoints(kp, f)
         print(f"frame {f}: {'pose added' if ok else 'rejected'}; "
@@ -73,6 +83,10 @@ def main():
     ap.add_argument("--cx", type=float, default=640.0)
     ap.add_argument("--cy", type=float, default=360.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--live-viewer", type=int, default=0, metavar="K",
+                    help="rewrite <out>/viewer.html every K accepted frames "
+                         "(open it in a browser to watch the cloud + "
+                         "trajectory grow mid-run); 0 disables")
     args = ap.parse_args()
 
     import jax

@@ -82,6 +82,12 @@ class OdometryConfig:
     ba_every: int = 1             # run BA every k accepted frames
     min_track_length: int = 2
     frontend_batch: int = 4       # frames per fused frontend dispatch
+    # Live visualization (the TPU-headless analog of the reference's
+    # Kalpana VO scene, Kalpana/EasyGL/SimpleSceneRenderer/
+    # PointCloudScene.hpp): rewrite an interactive HTML viewer with the
+    # growing cloud + trajectory every k accepted frames. "" disables.
+    live_viewer_path: str = ""
+    live_viewer_every: int = 5
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -174,6 +180,7 @@ class OdometryPipeline:
         self.frames: list[dict] = []
         self._prev_keypoints: Optional[Keypoints] = None
         self._frames_since_ba = 0
+        self._accepted_since_viewer = 0
         self._key = jax.random.PRNGKey(0)
         # Original pixels of the frame currently being integrated (for
         # scene-point color sampling); only the newest frame's image is
@@ -401,7 +408,37 @@ class OdometryPipeline:
                 and self._frames_since_ba >= self.cfg.ba_every):
             self._bundle_adjust()
             self._frames_since_ba = 0
+        self._maybe_write_viewer()
         return True
+
+    def trajectory(self) -> np.ndarray:
+        """(N, 3) camera centers of all accepted frames."""
+        centers = []
+        for v in range(len(self.pose_graph)):
+            R, t = self.pose_graph.pose(v)
+            centers.append(-np.asarray(R).T @ np.asarray(t))
+        return np.stack(centers) if centers else np.zeros((0, 3))
+
+    def _maybe_write_viewer(self):
+        """Live Kalpana-analog: periodically rewrite the HTML scene so a
+        browser tab shows the growing cloud + trajectory mid-run."""
+        if not self.cfg.live_viewer_path:
+            return
+        self._accepted_since_viewer += 1
+        if self._accepted_since_viewer < max(self.cfg.live_viewer_every, 1):
+            return
+        self._accepted_since_viewer = 0
+        try:
+            from sara_tpu.viz.html_viewer import write_html_viewer
+
+            write_html_viewer(self.cfg.live_viewer_path,
+                              self.point_cloud.points,
+                              self.point_cloud.colors,
+                              trajectory=self.trajectory())
+        except Exception as e:  # never let viz kill the pipeline
+            import logging
+
+            logging.getLogger("sara_tpu").warning("live viewer: %s", e)
 
     # -- stages -------------------------------------------------------------
 

@@ -111,13 +111,16 @@ def main():
               + tag, flush=True)
 
         if args.mesh:
-            from sara_tpu.parallel import (distributed_bundle_adjust,
+            from sara_tpu.parallel import (BACommModel,
+                                           distributed_bundle_adjust,
                                            make_mesh)
 
             base = None
             for n in (1, 2, 4, 8):
                 if n > jax.device_count():
                     break
+                print("  " + BACommModel(cfg["C"], cfg["P"], cfg["O"],
+                                         args.cg, n).report(), flush=True)
                 mesh = make_mesh(n)
                 t0 = time.perf_counter()
                 out, info = distributed_bundle_adjust(prob, mesh, opts)
