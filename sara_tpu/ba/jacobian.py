@@ -1,12 +1,18 @@
 """Closed-form reprojection Jacobians in flat (O,)-component form.
 
-``jax.vmap(jax.jacfwd(project))`` measured 2.36 s at O=800k on TPU —
-the forward-mode program materializes per-observation (2, 6) tangent
-blocks whose tiny minor dimensions waste ~99% of every (8, 128) vector
-tile (the same trap as the batched small-matrix LU, ops/smallmat.py).
-Writing the chain rule by hand over (O,) component arrays keeps every op
-a full-width elementwise vector op; the (O, 2, 6) blocks are only
-materialized once at the end.
+``jax.vmap(jax.jacfwd(project))`` measured 2.36 s at O=800k on TPU. Root
+cause (probe_ba_stages.py + probe_segsum.py): XLA:TPU tiles the last TWO
+dimensions of every array to (8, 128), so any (O, small, small) tensor —
+the (O, 2, 6) tangent blocks, (O, 3, 3) rotation matrices — is ~98%
+padding: gigabytes of physical traffic for tens of logical megabytes.
+
+This module therefore computes the whole chain rule over (O,) component
+arrays (rotations and Jacobian blocks as tuples of flat vectors) and
+emits the results packed FLAT:
+
+  r   (O, 2)
+  Jcf (O, 12)  [i*6 + a]   d r_i / d pose_a   (w then t)
+  Jpf (O, 6)   [i*3 + a]   d r_i / d X_a
 
 Math (world->camera pose (w, t), R = exp([w]x), Xc = R X + t):
   dpi/dXc = [[fx/z, 0, -fx x/z], [0, fy/z, -fy y/z]],  x = Xc0/z, ...
@@ -16,93 +22,104 @@ Math (world->camera pose (w, t), R = exp([w]x), Xc = R X + t):
             Jr = I - (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2)
 
 Pinhole (4,) intrinsics only; the Brown-Conrady (8,) and optimizable-
-intrinsics paths keep the autodiff fallback (sara_tpu.ba.core._jacobians).
-Validated against jacfwd to 1e-4 in tests/test_ba.py.
+intrinsics paths keep the autodiff fallback (sara_tpu.ba.core).
+Validated against jacfwd to ~1e-9 relative in tests/test_ba.py.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
-def _so3_exp_and_jr(w):
-    """R = exp([w]x) (O, 3, 3) and right Jacobian Jr(w) (O, 3, 3) from
-    (O, 3) angle-axis vectors — flat component arithmetic."""
-    t2 = jnp.sum(w * w, axis=-1)
+def _mat3(rows):
+    """3x3 'matrix' as a tuple of 9 flat (O,) components, row-major."""
+    return tuple(rows)
+
+
+def _mat3_mul(A, B):
+    """Component (O,)-wise product of two flat 3x3 matrices."""
+    return tuple(
+        sum(A[3 * i + k] * B[3 * k + j] for k in range(3))
+        for i in range(3) for j in range(3))
+
+
+def _exp_and_jr_flat(wx, wy, wz):
+    """R = exp([w]x) and right Jacobian Jr(w) as flat component tuples."""
+    t2 = wx * wx + wy * wy + wz * wz
     t = jnp.sqrt(jnp.maximum(t2, 1e-24))
     small = t2 < 1e-12
     st, ct = jnp.sin(t), jnp.cos(t)
-    # Coefficients with small-angle series fallbacks.
-    A = jnp.where(small, 1.0 - t2 / 6.0, st / t)               # sin t / t
-    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - ct) / t2)     # (1-cos)/t^2
-    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (t - st) / (t2 * t))
+    A = jnp.where(small, 1.0 - t2 / 6.0, st / jnp.maximum(t, 1e-24))
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - ct) / jnp.maximum(t2, 1e-24))
+    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
+                  (t - st) / jnp.maximum(t2 * t, 1e-36))
 
-    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
-    zeros = jnp.zeros_like(wx)
+    def build(cA, cB):
+        """I + cA [w]x + cB [w]x^2 with [w]x^2 = w w^T - t^2 I."""
+        return _mat3([
+            1.0 + cB * (wx * wx - t2), cA * (-wz) + cB * wx * wy,
+            cA * wy + cB * wx * wz,
+            cA * wz + cB * wx * wy, 1.0 + cB * (wy * wy - t2),
+            cA * (-wx) + cB * wy * wz,
+            cA * (-wy) + cB * wx * wz, cA * wx + cB * wy * wz,
+            1.0 + cB * (wz * wz - t2),
+        ])
 
-    def hat2(cA, cB):
-        """cA * I + cA2 ... helper building M = I + cA [w]x + cB [w]x^2."""
-        # [w]x^2 = w w^T - t^2 I
-        m00 = 1.0 + cB * (wx * wx - t2)
-        m11 = 1.0 + cB * (wy * wy - t2)
-        m22 = 1.0 + cB * (wz * wz - t2)
-        m01 = cA * (-wz) + cB * wx * wy
-        m10 = cA * wz + cB * wx * wy
-        m02 = cA * wy + cB * wx * wz
-        m20 = cA * (-wy) + cB * wx * wz
-        m12 = cA * (-wx) + cB * wy * wz
-        m21 = cA * wx + cB * wy * wz
-        return jnp.stack([
-            jnp.stack([m00, m01, m02], -1),
-            jnp.stack([m10, m11, m12], -1),
-            jnp.stack([m20, m21, m22], -1),
-        ], -2)
-
-    R = hat2(A, B)
-    Jr = hat2(-B, C)
-    return R, Jr
+    return build(A, B), build(-B, C)
 
 
 def pinhole_jacobians(poses, points, intr, cam_idx, pt_idx, uv):
-    """Residuals + closed-form Jacobians for pinhole (4,) intrinsics.
+    """Residuals + closed-form Jacobians, flat layouts only.
 
-    Returns r (O, 2), Jc (O, 2, 6), Jp (O, 2, 3) — unweighted, unmasked
-    (the caller applies Huber weights and freeze masks exactly as for the
-    autodiff path).
+    Returns r (O, 2), Jcf (O, 12), Jpf (O, 6) — unweighted, unmasked
+    (the caller applies Huber weights and freeze masks).
     """
-    w = poses[cam_idx, :3]                                     # (O, 3)
-    tt = poses[cam_idx, 3:]                                    # (O, 3)
-    X = points[pt_idx]                                         # (O, 3)
-    R, Jr = _so3_exp_and_jr(w)                                 # (O, 3, 3)
-    Xc = jnp.einsum("oij,oj->oi", R, X) + tt
-    z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
-    x = Xc[:, 0] / z
-    y = Xc[:, 1] / z
-    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    pred = jnp.stack([fx * x + cx, fy * y + cy], -1)
-    r = pred - uv
+    w = poses[cam_idx, :3]
+    tt = poses[cam_idx, 3:]
+    Xp = points[pt_idx]
+    X0, X1, X2 = Xp[:, 0], Xp[:, 1], Xp[:, 2]
+    R, Jr = _exp_and_jr_flat(w[:, 0], w[:, 1], w[:, 2])
 
-    # dpi/dXc: (O, 2, 3).
+    Xc0 = R[0] * X0 + R[1] * X1 + R[2] * X2 + tt[:, 0]
+    Xc1 = R[3] * X0 + R[4] * X1 + R[5] * X2 + tt[:, 1]
+    Xc2 = R[6] * X0 + R[7] * X1 + R[8] * X2 + tt[:, 2]
+    z = jnp.where(jnp.abs(Xc2) < 1e-9, 1e-9, Xc2)
     iz = 1.0 / z
-    zeros = jnp.zeros_like(iz)
-    dpi = jnp.stack([
-        jnp.stack([fx * iz, zeros, -fx * x * iz], -1),
-        jnp.stack([zeros, fy * iz, -fy * y * iz], -1),
-    ], -2)
+    x = Xc0 * iz
+    y = Xc1 * iz
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    r = jnp.stack([fx * x + cx - uv[:, 0], fy * y + cy - uv[:, 1]], axis=1)
 
-    # Jp = dpi . R.
-    Jp = jnp.einsum("oij,ojk->oik", dpi, R)
+    # dpi/dXc rows (per-component): row0 = fx iz (e0 - x e2),
+    # row1 = fy iz (e1 - y e2).
+    a0 = fx * iz
+    a2 = -fx * x * iz
+    b1 = fy * iz
+    b2 = -fy * y * iz
 
-    # dXc/dw = -R [X]x Jr: build [X]x Jr without materializing [X]x.
-    # ([X]x Jr)_{ik} = sum_j eps_{ijm} X_m Jr_{jk}  ->  rows:
-    X0, X1, X2 = X[..., 0], X[..., 1], X[..., 2]
-    XxJr = jnp.stack([
-        X1[:, None] * Jr[:, 2, :] - X2[:, None] * Jr[:, 1, :],
-        X2[:, None] * Jr[:, 0, :] - X0[:, None] * Jr[:, 2, :],
-        X0[:, None] * Jr[:, 1, :] - X1[:, None] * Jr[:, 0, :],
-    ], -2)                                                     # (O, 3, 3)
-    dXc_dw = -jnp.einsum("oij,ojk->oik", R, XxJr)
-    Jw = jnp.einsum("oij,ojk->oik", dpi, dXc_dw)               # (O, 2, 3)
-    Jc = jnp.concatenate([Jw, dpi], axis=-1)                   # (O, 2, 6)
-    return r, Jc, Jp
+    # Jp rows: dpi . R  (Jp[i, a] = dpi[i, :] . R[:, a]).
+    Jp0 = [a0 * R[0 + a] + a2 * R[6 + a] for a in range(3)]
+    Jp1 = [b1 * R[3 + a] + b2 * R[6 + a] for a in range(3)]
+
+    # M = [X]x Jr   (M_{ik} = (eps_{ijm} X_m) Jr_{jk}).
+    M = _mat3([
+        X1 * Jr[6] - X2 * Jr[3], X1 * Jr[7] - X2 * Jr[4],
+        X1 * Jr[8] - X2 * Jr[5],
+        X2 * Jr[0] - X0 * Jr[6], X2 * Jr[1] - X0 * Jr[7],
+        X2 * Jr[2] - X0 * Jr[8],
+        X0 * Jr[3] - X1 * Jr[0], X0 * Jr[4] - X1 * Jr[1],
+        X0 * Jr[5] - X1 * Jr[2],
+    ])
+    # dXc/dw = -R M.
+    G = tuple(-g for g in _mat3_mul(R, M))
+    # Jw rows: dpi . G.
+    Jw0 = [a0 * G[0 + a] + a2 * G[6 + a] for a in range(3)]
+    Jw1 = [b1 * G[3 + a] + b2 * G[6 + a] for a in range(3)]
+
+    # Pack flat: Jcf [i*6 + a] with pose layout (w0 w1 w2 t0 t1 t2);
+    # dXc/dt = I so the t-columns are the dpi rows themselves.
+    zeros = jnp.zeros_like(a0)
+    Jcf = jnp.stack(
+        Jw0 + [a0, zeros, a2] + Jw1 + [zeros, b1, b2], axis=1)
+    Jpf = jnp.stack(Jp0 + Jp1, axis=1)
+    return r, Jcf, Jpf

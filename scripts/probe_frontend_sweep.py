@@ -45,6 +45,17 @@ def configs():
             base,
             pyramid=dataclasses.replace(base.pyramid, max_octaves=4),
             dog=dataclasses.replace(base.dog, refine_iters=2)),
+        # The round-2 parity-measured config (eval_detection_quality
+        # defaults): kp 1.06x / correct 1.09x OpenCV.
+        "cap4096": dataclasses.replace(
+            base, dog=dataclasses.replace(base.dog, capacity=4096),
+            total_capacity=8192),
+        "cap4096+o4r2": dataclasses.replace(
+            base,
+            pyramid=dataclasses.replace(base.pyramid, max_octaves=4),
+            dog=dataclasses.replace(base.dog, capacity=4096,
+                                    refine_iters=2),
+            total_capacity=8192),
     }
     return out
 

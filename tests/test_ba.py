@@ -223,3 +223,60 @@ def test_ba_optimizes_distortion():
     rec = np.asarray(out.intrinsics)
     assert float(info["final_cost"]) < 1e-2 * float(info["initial_cost"])
     np.testing.assert_allclose(rec[4:6], dist[:2], atol=0.02)
+
+
+def test_closed_form_jacobians_match_autodiff():
+    """ba/jacobian.py flat closed form == vmapped jacfwd (machine
+    precision), including tiny-angle poses."""
+    import jax
+
+    from sara_tpu.ba.core import _project
+    from sara_tpu.ba.jacobian import pinhole_jacobians
+
+    rs = np.random.RandomState(0)
+    O, C, P = 400, 6, 50
+    for scale in (0.5, 1e-8):
+        poses = jnp.asarray(rs.normal(scale=scale, size=(C, 6)))
+        points = jnp.asarray(rs.normal(scale=2.0, size=(P, 3))
+                             + np.array([0, 0, 8.0]))
+        intr = jnp.asarray([800.0, 820.0, 512.0, 384.0])
+        ci = jnp.asarray(rs.randint(0, C, O))
+        pi = jnp.asarray(rs.randint(0, P, O))
+        uv = jnp.asarray(rs.normal(size=(O, 2)))
+
+        r, Jcf, Jpf = pinhole_jacobians(poses, points, intr, ci, pi, uv)
+
+        def res_one(pose6, X, u):
+            pred, _ = _project(intr, pose6, X)
+            return pred - u
+
+        def one(c, p, u):
+            return (res_one(poses[c], points[p], u),
+                    jax.jacfwd(res_one, 0)(poses[c], points[p], u),
+                    jax.jacfwd(res_one, 1)(poses[c], points[p], u))
+
+        r2, Jc2, Jp2 = jax.vmap(one)(ci, pi, uv)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r2), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(Jcf).reshape(O, 2, 6), np.asarray(Jc2),
+            rtol=1e-6, atol=1e-5 * float(jnp.abs(Jc2).max()))
+        np.testing.assert_allclose(
+            np.asarray(Jpf).reshape(O, 2, 3), np.asarray(Jp2),
+            rtol=1e-6, atol=1e-5 * float(jnp.abs(Jp2).max()))
+
+
+def test_flat_fast_path_matches_autodiff_path():
+    """bundle_adjust's flat pinhole path == the autodiff path (forced via
+    an all-frozen intr_free mask, which is semantically identical)."""
+    prob = _make_ba_problem()[0]
+    opts = BAOptions(max_iters=8, cg_iters=12)
+    out_fast, info_fast = bundle_adjust(prob, opts)
+    frozen = prob._replace(intr_free=jnp.zeros(4, bool))
+    out_slow, info_slow = bundle_adjust(frozen, opts)
+    np.testing.assert_allclose(np.asarray(out_fast.poses),
+                               np.asarray(out_slow.poses), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_fast.points),
+                               np.asarray(out_slow.points), atol=1e-4)
+    assert abs(float(info_fast["final_cost"])
+               - float(info_slow["final_cost"])) < 1e-3 * (
+        1.0 + float(info_slow["final_cost"]))
