@@ -58,22 +58,40 @@ def _stencil_extrema(dog: jnp.ndarray):
 
 
 def _gather_neighborhood(dog: jnp.ndarray, s, y, x):
-    """Gather the 3x3x3 neighborhood around integer (s, y, x), per keypoint."""
+    """Gather the 3x3x3 neighborhood around integer (s, y, x) as a FLAT
+    (K, 27) array, column c = (ds*3 + dy)*3 + dx with offsets in {0,1,2}.
+
+    Flat layout matters twice on TPU: a (K, 3, 3, 3) result pads its last
+    two dims to an (8, 128) tile (~100x memory inflation), and the
+    multi-axis advanced-indexing gather is the op class that kernel-faults
+    the runtime at large K (NOTES.md round 3); a linear row index into the
+    flattened volume is the canonical safe form.
+    """
     offs = jnp.arange(-1, 2)
     S, H, W = dog.shape
     ss = jnp.clip(s[..., None] + offs, 0, S - 1)       # (K, 3)
     yy = jnp.clip(y[..., None] + offs, 0, H - 1)
     xx = jnp.clip(x[..., None] + offs, 0, W - 1)
-    # (K, 3, 3, 3) gather via advanced indexing.
-    return dog[ss[:, :, None, None], yy[:, None, :, None], xx[:, None, None, :]]
+    lin = (ss[:, :, None, None] * (H * W) + yy[:, None, :, None] * W
+           + xx[:, None, None, :]).reshape(-1, 27)     # (K, 27)
+    flat = dog.reshape(-1)
+    return jnp.take(flat, lin.reshape(-1), axis=0).reshape(-1, 27)
 
 
-def _solve3(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form 3x3 solve via the adjugate (batched): cheaper on TPU
-    than the pivoted LU path of jnp.linalg.solve for tiny systems."""
-    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
-    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
-    gg, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+# Column index of offset (ds, dy, dx) in the flat (K, 27) neighborhood,
+# offsets in {-1, 0, 1}.
+def _nc(ds, dy, dx):
+    return ((ds + 1) * 3 + (dy + 1)) * 3 + (dx + 1)
+
+
+def _solve3(hcomp, g: jnp.ndarray, reg: float = 1e-12) -> jnp.ndarray:
+    """Closed-form symmetric 3x3 solve via the adjugate on FLAT component
+    columns (cheaper on TPU than any batched (K, 3, 3) path: tiny trailing
+    dims tile-pad ~100x). hcomp = (hss, hyy, hxx, hsy, hsx, hyx)."""
+    hss, hyy, hxx, hsy, hsx, hyx = hcomp
+    a, b, c = hss + reg, hsy, hsx
+    d, e, f = hsy, hyy + reg, hyx
+    gg, h, i = hsx, hyx, hxx + reg
     A = e * i - f * h
     B = c * h - b * i
     C = b * f - c * e
@@ -92,34 +110,38 @@ def _solve3(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
 
 
 def _grad_hess_3d(n: jnp.ndarray):
-    """Central-difference gradient (3,) and Hessian (3,3) of a (..., 3,3,3)
-    neighborhood, ordered (s, y, x)."""
-    c = n[..., 1, 1, 1]
-    gs = 0.5 * (n[..., 2, 1, 1] - n[..., 0, 1, 1])
-    gy = 0.5 * (n[..., 1, 2, 1] - n[..., 1, 0, 1])
-    gx = 0.5 * (n[..., 1, 1, 2] - n[..., 1, 1, 0])
-    hss = n[..., 2, 1, 1] + n[..., 0, 1, 1] - 2 * c
-    hyy = n[..., 1, 2, 1] + n[..., 1, 0, 1] - 2 * c
-    hxx = n[..., 1, 1, 2] + n[..., 1, 1, 0] - 2 * c
-    hsy = 0.25 * (n[..., 2, 2, 1] - n[..., 2, 0, 1] - n[..., 0, 2, 1] + n[..., 0, 0, 1])
-    hsx = 0.25 * (n[..., 2, 1, 2] - n[..., 2, 1, 0] - n[..., 0, 1, 2] + n[..., 0, 1, 0])
-    hyx = 0.25 * (n[..., 1, 2, 2] - n[..., 1, 2, 0] - n[..., 1, 0, 2] + n[..., 1, 0, 0])
+    """Central-difference gradient (K, 3) and flat symmetric Hessian
+    components of a (K, 27) flat neighborhood, ordered (s, y, x).
+
+    Returns (g (K, 3), (hss, hyy, hxx, hsy, hsx, hyx) flat columns)."""
+    col = lambda ds, dy, dx: n[:, _nc(ds, dy, dx)]
+    c = col(0, 0, 0)
+    gs = 0.5 * (col(1, 0, 0) - col(-1, 0, 0))
+    gy = 0.5 * (col(0, 1, 0) - col(0, -1, 0))
+    gx = 0.5 * (col(0, 0, 1) - col(0, 0, -1))
+    hss = col(1, 0, 0) + col(-1, 0, 0) - 2 * c
+    hyy = col(0, 1, 0) + col(0, -1, 0) - 2 * c
+    hxx = col(0, 0, 1) + col(0, 0, -1) - 2 * c
+    hsy = 0.25 * (col(1, 1, 0) - col(1, -1, 0) - col(-1, 1, 0)
+                  + col(-1, -1, 0))
+    hsx = 0.25 * (col(1, 0, 1) - col(1, 0, -1) - col(-1, 0, 1)
+                  + col(-1, 0, -1))
+    hyx = 0.25 * (col(0, 1, 1) - col(0, 1, -1) - col(0, -1, 1)
+                  + col(0, -1, -1))
     g = jnp.stack([gs, gy, gx], axis=-1)
-    Hm = jnp.stack([
-        jnp.stack([hss, hsy, hsx], axis=-1),
-        jnp.stack([hsy, hyy, hyx], axis=-1),
-        jnp.stack([hsx, hyx, hxx], axis=-1),
-    ], axis=-2)
-    return g, Hm
+    return g, (hss, hyy, hxx, hsy, hsx, hyx)
 
 
 def _on_edge(n: jnp.ndarray, edge_ratio: float):
     """Edge test on the spatial 2x2 Hessian: tr^2 * r >= (r+1)^2 * det
-    (reference: RefineExtremum.cpp:24-30)."""
-    c = n[..., 1, 1, 1]
-    hyy = n[..., 1, 2, 1] + n[..., 1, 0, 1] - 2 * c
-    hxx = n[..., 1, 1, 2] + n[..., 1, 1, 0] - 2 * c
-    hyx = 0.25 * (n[..., 1, 2, 2] - n[..., 1, 2, 0] - n[..., 1, 0, 2] + n[..., 1, 0, 0])
+    (reference: RefineExtremum.cpp:24-30). n is the flat (K, 27)
+    neighborhood."""
+    col = lambda ds, dy, dx: n[:, _nc(ds, dy, dx)]
+    c = col(0, 0, 0)
+    hyy = col(0, 1, 0) + col(0, -1, 0) - 2 * c
+    hxx = col(0, 0, 1) + col(0, 0, -1) - 2 * c
+    hyx = 0.25 * (col(0, 1, 1) - col(0, 1, -1) - col(0, -1, 1)
+                  + col(0, -1, -1))
     tr = hxx + hyy
     det = hxx * hyy - hyx * hyx
     r = edge_ratio
@@ -169,9 +191,9 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
     def body(_, state):
         s, y, x, done = state
         n = _gather_neighborhood(dog, s, y, x)
-        g, Hm = _grad_hess_3d(n)
+        g, hcomp = _grad_hess_3d(n)
         # Solve H h = -g (3x3); regularize tiny determinants.
-        h = -_solve3(Hm + 1e-12 * jnp.eye(3), g)
+        h = -_solve3(hcomp, g)
         # If the spatial offset exceeds 0.6, shift the integer position.
         shift_y = jnp.where(jnp.abs(h[..., 1]) > 0.6, jnp.sign(h[..., 1]), 0.0).astype(jnp.int32)
         shift_x = jnp.where(jnp.abs(h[..., 2]) > 0.6, jnp.sign(h[..., 2]), 0.0).astype(jnp.int32)
@@ -187,13 +209,13 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
                                       (s0, y0, x0, done0))
 
     n = _gather_neighborhood(dog, s1, y1, x1)
-    g, Hm = _grad_hess_3d(n)
-    h = -_solve3(Hm + 1e-12 * jnp.eye(3), g)
+    g, hcomp = _grad_hess_3d(n)
+    h = -_solve3(hcomp, g)
     # Clamp the final sub-pixel offset; reject wild steps
     # (reference rejects |h| > 1.5).
     ok_step = jnp.max(jnp.abs(h), axis=-1) <= 1.5
     h = jnp.clip(h, -1.5, 1.5)
-    value = n[..., 1, 1, 1] + 0.5 * jnp.sum(g * h, axis=-1)
+    value = n[:, _nc(0, 0, 0)] + 0.5 * jnp.sum(g * h, axis=-1)
 
     valid = valid & ok_step & (jnp.abs(value) >= params.extremum_thres)
     if params.edge_test:

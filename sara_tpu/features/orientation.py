@@ -128,7 +128,7 @@ def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
     The scale index folds into one advanced-indexing gather (a vmapped
     dynamic_index over the scale axis materializes (K, H, W, 36) — 160 GB).
     """
-    S, Hc, Wc, _ = maps.shape
+    S, Hc, Wc, FB = maps.shape
     s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
     if downsample > 1:
         # Half-res sample j holds the blur at original pixel stride*j.
@@ -142,10 +142,19 @@ def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
     y1 = jnp.minimum(y0 + 1, Hc - 1)
     fx = (xc - x0)[:, None].astype(jnp.float32)
     fy = (yc - y0)[:, None].astype(jnp.float32)
-    return (maps[s_idx, y0, x0].astype(jnp.float32) * (1 - fx) * (1 - fy)
-            + maps[s_idx, y0, x1].astype(jnp.float32) * fx * (1 - fy)
-            + maps[s_idx, y1, x0].astype(jnp.float32) * (1 - fx) * fy
-            + maps[s_idx, y1, x1].astype(jnp.float32) * fx * fy)
+    # Flat single-axis row gather (the multi-axis advanced-indexing form
+    # kernel-faults this runtime at large K and lowers poorly; NOTES.md).
+    flat = maps.reshape(S * Hc * Wc, FB)
+    base = s_idx * (Hc * Wc)
+
+    def take(yy, xx):
+        return jnp.take(flat, base + yy * Wc + xx,
+                        axis=0).astype(jnp.float32)
+
+    return (take(y0, x0) * (1 - fx) * (1 - fy)
+            + take(y0, x1) * fx * (1 - fy)
+            + take(y1, x0) * (1 - fx) * fy
+            + take(y1, x1) * fx * fy)
 
 
 def orientation_histograms(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,

@@ -327,7 +327,10 @@ def _solve_basis(basis4):
         g = J.T @ r
         from sara_tpu.features.dog import _solve3
 
-        dp = -_solve3(JtJ, g)
+        # _solve3 takes flat symmetric components (hss, hyy, hxx, hsy,
+        # hsx, hyx).
+        dp = -_solve3((JtJ[0, 0], JtJ[1, 1], JtJ[2, 2],
+                       JtJ[0, 1], JtJ[0, 2], JtJ[1, 2]), g)
         p2 = p + jnp.clip(dp, -0.5, 0.5)
         # Accept only improving steps (branch-free).
         better = (jnp.linalg.norm(_resid_p(p2))

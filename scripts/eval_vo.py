@@ -2,10 +2,19 @@
 on a synthetic N-frame sequence (optionally with loop closure) and reports
 ATE + throughput.
 
+--room runs BASELINE config 3 for real: a 100-frame LOOP trajectory
+rendered inside the real-photograph-textured room
+(scripts/eval_real_images.py scene), full pixels->trajectory VO with BA
+cadence on, loop-closure detection + pose-graph correction, and a JSON
+artifact with accepted frames / fps / ATE before & after closure.
+
 Usage: python scripts/eval_vo.py [--frames 60] [--loop] [--cpu]
+       python scripts/eval_vo.py --room --frames 100 --loop [--cpu]
+           [--out eval_vo_room.json]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -17,18 +26,116 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 import numpy as np
 
 
+def run_room(args):
+    """Config-3 run: rendered real-texture room, circular loop."""
+    import jax.numpy as jnp
+
+    from eval_real_images import make_real_room
+    from render3d import render
+    from sara_tpu.sfm import OdometryConfig, OdometryPipeline
+    from sara_tpu.sfm.loop_closure import LoopCloser, LoopClosureConfig
+    from sara_tpu.utils import ate_rmse
+
+    import jax
+
+    hw = (args.height, args.width)
+    K = np.array([[0.94 * hw[1], 0, hw[1] / 2],
+                  [0, 0.94 * hw[1], hw[0] / 2], [0, 0, 1.0]])
+    planes = make_real_room()
+
+    # Circular loop inside the room, gently yawing so floor + both walls
+    # stay in view; the path returns to its start => a real loop closure.
+    imgs, centers, Rgts = [], [], []
+    r_loop = 1.6
+    for i in range(args.frames):
+        a = 2 * np.pi * i / args.frames
+        c = np.array([0.5 + r_loop * np.sin(a), 0.0,
+                      4.0 + r_loop * (1 - np.cos(a))])
+        yaw = 0.25 * np.sin(a)
+        R = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                      [-np.sin(yaw), 0, np.cos(yaw)]])
+        imgs.append(np.asarray(render(planes, K, R, -R @ c, hw=hw)))
+        centers.append(c)
+        Rgts.append(R)
+    centers = np.asarray(centers)
+
+    cfg = OdometryConfig(rel_pose_samples=300, pnp_samples=300,
+                         rel_pose_min_inliers=40, pnp_min_inliers=15,
+                         ba_window=8)
+    pipe = OdometryPipeline(K, cfg)
+    closer = (LoopCloser(K, LoopClosureConfig(
+        min_gap=max(args.frames // 4, 15), min_inliers=40,
+        rel_pose_samples=300)) if args.loop else None)
+
+    t0 = time.perf_counter()
+    ok = []
+    for f, im in enumerate(imgs):
+        accepted = bool(pipe.process_frame(jnp.asarray(im), f))
+        ok.append(accepted)
+        if accepted and closer is not None:
+            closer.add_frame(pipe._prev_keypoints)
+        print(f"frame {f}: {'ok' if accepted else 'REJECTED'} "
+              f"({pipe.point_cloud.num_points} pts)",
+              file=sys.stderr, flush=True)
+    elapsed = time.perf_counter() - t0
+    accepted = sum(ok)
+    gt_sel = centers[np.flatnonzero(ok)]
+    ate_before = float(ate_rmse(pipe.pose_graph.trajectory(), gt_sel))
+
+    closed = False
+    ate_after = ate_before
+    if closer is not None:
+        closed = bool(closer.close(pipe, accepted - 1))
+        ate_after = float(ate_rmse(pipe.pose_graph.trajectory(), gt_sel))
+
+    artifact = {
+        "config": "baseline-3-room-loop",
+        "backend": jax.default_backend(),
+        "frames": args.frames,
+        "resolution": list(hw),
+        "accepted": accepted,
+        "fps": round(accepted / elapsed, 3),
+        "ms_per_frame": round(elapsed / max(accepted, 1) * 1e3, 1),
+        "ate_before_closure": round(ate_before, 5),
+        "loop_closed": closed,
+        "ate_after_closure": round(ate_after, 5),
+        "map_points": int(pipe.point_cloud.num_points),
+    }
+    print(json.dumps(artifact))
+    if args.out:
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+                if not isinstance(existing, list):
+                    existing = [existing]
+        existing.append(artifact)
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
+        print(f"artifact appended to {args.out}", file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--noise", type=float, default=0.3)
+    ap.add_argument("--room", action="store_true",
+                    help="render the real-texture room loop (config 3)")
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--out", default="eval_vo_room.json")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.room:
+        run_room(args)
+        return
 
     from sara_tpu.sfm import OdometryPipeline, OdometryConfig
     from sara_tpu.sfm.loop_closure import LoopCloser, LoopClosureConfig
