@@ -76,7 +76,7 @@ def quality_vs_opencv(img):
         xy_cv_a, xy_cv_b, pairs_cv, _ = q.run_opencv(im, warped)
         rep_cv, _ = q.repeatability(xy_cv_a, xy_cv_b, H, h, w)
         cor_cv, _ = q.match_quality(xy_cv_a, xy_cv_b, pairs_cv, H)
-        xy_a, xy_b, pairs, _ = q.run_ours(im, warped, -1, 6144, 3072)
+        xy_a, xy_b, pairs, _ = q.run_ours(im, warped, -1, 8192, 4096)
         rep, _ = q.repeatability(xy_a, xy_b, H, h, w)
         cor, _ = q.match_quality(xy_a, xy_b, pairs, H)
         return {
@@ -158,12 +158,22 @@ def bench_ours(a, b):
     log(f"batched compile+first: {time.perf_counter()-t0:.1f}s "
         f"(counts {counts.tolist()})")
 
+    # Depth-2 pipeline: dispatch batch i+1 before fetching batch i, so the
+    # ~27 ms host round-trip of the fetch overlaps the NEXT batch's device
+    # compute (JAX dispatch is async; the np.asarray fetch of an earlier
+    # output is the honest synchronization for that batch). A production
+    # frontend streams exactly like this.
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        counts = np.asarray(batched(batch_a, batch_b))
+    pending = batched(batch_a, batch_b)
+    for _ in range(ITERS - 1):
+        nxt = batched(batch_a, batch_b)
+        counts = np.asarray(pending)
+        pending = nxt
+    counts = np.asarray(pending)
     dt = (time.perf_counter() - t0) / ITERS
     fps = 2.0 * BATCH / dt
-    log(f"sara-tpu batched: {dt*1e3:.0f} ms / {BATCH} pairs -> {fps:.2f} frames/s")
+    log(f"sara-tpu batched (pipelined): {dt*1e3:.0f} ms / {BATCH} pairs "
+        f"-> {fps:.2f} frames/s")
     return fps, n_a, n_m
 
 
@@ -213,7 +223,7 @@ def main():
         # Per-frame estimate at the ACTUAL bench configuration: SIFT at
         # total_capacity 6144 plus half of the per-pair matching GEMM
         # (measured time is per frame = per half-pair).
-        cap = 6144
+        cap = 8192
         sift_est = sift_frame(a.shape[0], a.shape[1], first_octave=-1,
                               keypoints=cap)
         m_est = match_pair(cap, cap)

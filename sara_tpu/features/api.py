@@ -44,17 +44,20 @@ class SIFTParams:
     (SfM/BuildingBlocks/FeatureParams.hpp:10, `ImagePyramidParams(0)`).
     """
 
-    # Per-octave capacity 3072 (parity config: kp 1.06x OpenCV on the
-    # bundled pair). Round 2 this reproducibly CRASHED the TPU worker
-    # ("kernel fault") in the composite fo=-1 program at 480x640; the
-    # bisect landed on large-k lax.top_k (k=3072/6144) — every top-k in
-    # the program now routes through ops.topk.chunked_top_k (k<=1024
-    # passes), which runs clean at this capacity.
+    # Per-octave capacity 4096 / total 8192 with nearest field sampling:
+    # the round-3 quality harness measures kp 1.70x OpenCV, correct
+    # matches 0.955x, repeatability 0.760 vs 0.695 at this configuration.
+    # (Round 2 capacities >= 3072 reproducibly CRASHED the TPU worker; the
+    # bisect landed on the multi-axis advanced-indexing gathers in the
+    # descriptor/orientation sampling, now flat row gathers — NOTES.md.)
+    # refine_iters=2: most extrema converge in one Newton step; quality
+    # measured identical to the reference's 5 (probe_frontend_sweep).
     pyramid: PyramidParams = field(
         default_factory=lambda: PyramidParams(first_octave=-1))
-    dog: DoGParams = field(default_factory=lambda: DoGParams(capacity=3072))
+    dog: DoGParams = field(default_factory=lambda: DoGParams(
+        capacity=4096, refine_iters=2))
     max_orientations: int = 2
-    total_capacity: int = 6144
+    total_capacity: int = 8192
     descriptor_bilinear: bool = False  # nearest sampling: 4x fewer gathers,
                                        # ~1.4x faster frontend; the 16x16
                                        # grid oversamples the 4x4 bins so
@@ -76,6 +79,18 @@ class SIFTParams:
                                      # resolution on any backend (lets the
                                      # CPU quality harness measure the
                                      # TPU approximation)
+    hist_sample_nearest: bool = False  # nearest (1-row) vs bilinear
+                                       # (4-row) reads of the blurred
+                                       # orientation field for the
+                                       # per-keypoint histogram
+    desc_sample_nearest: bool = True   # same choice for the field
+                                       # descriptor's 16 bin centers
+                                       # (16 vs 64 rows/keypoint).
+    # Row-gather rate (~30 rows/us) bounds both stages on TPU. Measured on
+    # the ds=2 maps the TPU uses (CPU harness, orientation_downsample=2):
+    # desc-nearest costs ~2% correct matches; hist-nearest costs ~7%
+    # (theta errors rotate the whole descriptor) — so descriptors sample
+    # nearest, histograms bilinear.
 
 
 @functools.partial(jax.jit, static_argnames=("params", "sigmas"))
@@ -95,7 +110,8 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     maps = orientation_maps(gx, gy, sigmas[:-1], compute_dtype=cdt,
                             downsample=ds)
     hist = lowe_smooth(sample_orientation_maps(
-        maps, det["x"], det["y"], det["s"], downsample=ds))
+        maps, det["x"], det["y"], det["s"], downsample=ds,
+        bilinear=not params.hist_sample_nearest))
     theta, tvalid = find_orientation_peaks(
         hist, max_peaks=params.max_orientations)
 
@@ -120,8 +136,9 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     x, y, s, val, th, mask = (a[order] for a in (x, y, s, val, th, mask))
 
     if params.descriptor_field:
-        desc = sift_descriptors_field(maps, x, y, s, th, sigmas[:-1],
-                                      downsample=ds)
+        desc = sift_descriptors_field(
+            maps, x, y, s, th, sigmas[:-1], downsample=ds,
+            bilinear=not params.desc_sample_nearest)
     else:
         desc = sift_descriptors(gx, gy, x, y, s, th, sigmas[:-1],
                                 bilinear=params.descriptor_bilinear,

@@ -122,11 +122,18 @@ def orientation_maps(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
 
 
 def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
-                            downsample: int = 1) -> jnp.ndarray:
-    """Bilinear read of each keypoint's 36-vector from the dense maps.
+                            downsample: int = 1,
+                            bilinear: bool = True) -> jnp.ndarray:
+    """Read each keypoint's 36-vector from the dense maps.
 
-    The scale index folds into one advanced-indexing gather (a vmapped
-    dynamic_index over the scale axis materializes (K, H, W, 36) — 160 GB).
+    The scale index folds into one flat row gather (a vmapped
+    dynamic_index over the scale axis materializes (K, H, W, 36) — 160 GB;
+    the multi-axis advanced-indexing form kernel-faults this runtime at
+    large K, NOTES.md). ``bilinear=False`` reads ONE nearest row per
+    keypoint instead of four — row-gather throughput (~30 rows/us) bounds
+    this stage on TPU, and the maps are already Gaussian-blurred with
+    sigma_w >= 2.4 map pixels, so the <=0.5 px sampling shift is far
+    inside the window (quality-gated in eval_detection_quality).
     """
     S, Hc, Wc, FB = maps.shape
     s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
@@ -136,14 +143,6 @@ def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
         y = y / downsample
     xc = jnp.clip(x, 0.0, Wc - 1.0)
     yc = jnp.clip(y, 0.0, Hc - 1.0)
-    x0 = jnp.floor(xc).astype(jnp.int32)
-    y0 = jnp.floor(yc).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, Wc - 1)
-    y1 = jnp.minimum(y0 + 1, Hc - 1)
-    fx = (xc - x0)[:, None].astype(jnp.float32)
-    fy = (yc - y0)[:, None].astype(jnp.float32)
-    # Flat single-axis row gather (the multi-axis advanced-indexing form
-    # kernel-faults this runtime at large K and lowers poorly; NOTES.md).
     flat = maps.reshape(S * Hc * Wc, FB)
     base = s_idx * (Hc * Wc)
 
@@ -151,6 +150,17 @@ def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
         return jnp.take(flat, base + yy * Wc + xx,
                         axis=0).astype(jnp.float32)
 
+    if not bilinear:
+        xn = jnp.round(xc).astype(jnp.int32)
+        yn = jnp.round(yc).astype(jnp.int32)
+        return take(yn, xn)
+
+    x0 = jnp.floor(xc).astype(jnp.int32)
+    y0 = jnp.floor(yc).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, Wc - 1)
+    y1 = jnp.minimum(y0 + 1, Hc - 1)
+    fx = (xc - x0)[:, None].astype(jnp.float32)
+    fy = (yc - y0)[:, None].astype(jnp.float32)
     return (take(y0, x0) * (1 - fx) * (1 - fy)
             + take(y0, x1) * fx * (1 - fy)
             + take(y1, x0) * (1 - fx) * fy

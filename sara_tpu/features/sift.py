@@ -153,7 +153,8 @@ def root_sift(desc: jnp.ndarray) -> jnp.ndarray:
 
 
 def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
-                           downsample: int = 1) -> jnp.ndarray:
+                           downsample: int = 1,
+                           bilinear: bool = True) -> jnp.ndarray:
     """128-D descriptors sampled from the dense blurred orientation maps.
 
     DAISY-style fast variant of the SIFT descriptor (cf. the exact-grid
@@ -201,12 +202,6 @@ def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
         ys = ys / downsample
     xc = jnp.clip(xs, 0.0, Wc - 1.0)
     yc = jnp.clip(ys, 0.0, Hc - 1.0)
-    x0 = jnp.floor(xc).astype(jnp.int32)
-    y0 = jnp.floor(yc).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, Wc - 1)
-    y1 = jnp.minimum(y0 + 1, Hc - 1)
-    fx = (xc - x0)[..., None].astype(jnp.float32)
-    fy = (yc - y0)[..., None].astype(jnp.float32)
     # Flat single-axis row gather: the multi-axis advanced-indexing form
     # maps[si, y, x] reproducibly kernel-faults the TPU runtime at
     # K >= ~3840 (round-3 bisect, scripts/probe_fault_desc.py); a linear
@@ -220,10 +215,25 @@ def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
         return jnp.take(flat, lin, axis=0).reshape(K, -1, FB) \
             .astype(jnp.float32)
 
-    F = (take(y0, x0) * (1 - fx) * (1 - fy)
-         + take(y0, x1) * fx * (1 - fy)
-         + take(y1, x0) * (1 - fx) * fy
-         + take(y1, x1) * fx * fy)                            # (K, 16, 36)
+    if bilinear:
+        x0 = jnp.floor(xc).astype(jnp.int32)
+        y0 = jnp.floor(yc).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, Wc - 1)
+        y1 = jnp.minimum(y0 + 1, Hc - 1)
+        fx = (xc - x0)[..., None].astype(jnp.float32)
+        fy = (yc - y0)[..., None].astype(jnp.float32)
+        F = (take(y0, x0) * (1 - fx) * (1 - fy)
+             + take(y0, x1) * fx * (1 - fy)
+             + take(y1, x0) * (1 - fx) * fy
+             + take(y1, x1) * fx * fy)                        # (K, 16, 36)
+    else:
+        # One nearest row per bin center: row-gather rate bounds this
+        # stage on TPU (~30 rows/us) and the field is blurred with
+        # sigma_w = l/2 >= 2.4 map px, so the <=0.5 px shift is benign
+        # (quality-gated in eval_detection_quality).
+        xn = jnp.round(xc).astype(jnp.int32)
+        yn = jnp.round(yc).astype(jnp.int32)
+        F = take(yn, xn)
 
     # Collapse 36 fine orientation channels into 8 theta-rotated coarse bins
     # with the exact path's circular triangle weights (bins centered at

@@ -141,6 +141,28 @@ def load_darknet_weights(cfg: List[Dict], path: str):
     return params, header
 
 
+def save_darknet_weights(cfg: List[Dict], params, path: str,
+                         header=(0, 2, 5, 0, 0)):
+    """Write params in the binary Darknet .weights format (the exact
+    inverse of :func:`load_darknet_weights`) — lets the round-trip be
+    tested on the real yolov4-tiny architecture without shipping trained
+    weights (none in-tree, no egress)."""
+    chunks = [np.asarray(header, np.int32).tobytes()]
+    for i, sec in enumerate(cfg[1:]):
+        if sec["type"] != "convolutional":
+            continue
+        p = params[i]
+        if "gamma" in p:
+            for key in ("beta", "gamma", "mean", "var"):
+                chunks.append(np.asarray(p[key], np.float32).tobytes())
+        else:
+            chunks.append(np.asarray(p["bias"], np.float32).tobytes())
+        w = np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO->OIHW
+        chunks.append(w.tobytes())
+    with open(path, "wb") as f:
+        f.write(b"".join(chunks))
+
+
 # ---------------------------------------------------------------------------
 # Forward pass.
 # ---------------------------------------------------------------------------

@@ -67,3 +67,93 @@ def test_nms_suppresses_overlaps():
     idx, keep = np.asarray(idx), np.asarray(keep)
     kept = set(idx[keep].tolist())
     assert kept == {0, 2}
+
+
+@pytest.mark.slow
+def test_real_cfg_weights_roundtrip_and_torch_parity():
+    """Real yolov4-tiny architecture e2e without trained weights:
+    (1) binary .weights round-trip (save -> load == original);
+    (2) forward parity against an independent torch executor of the same
+        cfg — trained weights would add nothing numerically."""
+    import tempfile
+
+    import torch
+    import torch.nn.functional as tF
+
+    from sara_tpu.nn import save_darknet_weights
+    from sara_tpu.nn.darknet import load_darknet_weights
+
+    cfg = parse_darknet_cfg(CFG)
+    params, _ = init_darknet_params(cfg, seed=3)
+
+    with tempfile.NamedTemporaryFile(suffix=".weights") as f:
+        save_darknet_weights(cfg, params, f.name)
+        loaded, header = load_darknet_weights(cfg, f.name)
+    for i, sec in enumerate(cfg[1:]):
+        if sec["type"] != "convolutional":
+            continue
+        for k in params[i]:
+            np.testing.assert_allclose(np.asarray(loaded[i][k]),
+                                       np.asarray(params[i][k]), atol=0)
+
+    # Torch executor for the v4-tiny layer set.
+    rs = np.random.RandomState(0)
+    x_np = rs.rand(1, 160, 160, 3).astype(np.float32)
+    yolo_outs, outputs = darknet_forward(params, cfg, jnp.asarray(x_np))
+
+    xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+    outs_t = []
+    cur = xt
+    for i, sec in enumerate(cfg[1:]):
+        t = sec["type"]
+        if t == "convolutional":
+            p = params[i]
+            w = torch.from_numpy(
+                np.asarray(p["w"], np.float32).transpose(3, 2, 0, 1))
+            stride = int(sec.get("stride", 1))
+            k = int(sec.get("size", 1))
+            pad = (k - 1) // 2 if int(sec.get("pad", 0)) else 0
+            y = tF.conv2d(cur, w, stride=stride, padding=pad,
+                          groups=int(sec.get("groups", 1)))
+            if "gamma" in p:
+                mean = torch.from_numpy(np.asarray(p["mean"], np.float32))
+                var = torch.from_numpy(np.asarray(p["var"], np.float32))
+                gam = torch.from_numpy(np.asarray(p["gamma"], np.float32))
+                bet = torch.from_numpy(np.asarray(p["beta"], np.float32))
+                y = (y - mean[None, :, None, None]) / torch.sqrt(
+                    var[None, :, None, None] + 1e-5)
+                y = y * gam[None, :, None, None] + bet[None, :, None, None]
+            else:
+                y = y + torch.from_numpy(
+                    np.asarray(p["bias"], np.float32))[None, :, None, None]
+            if sec.get("activation") == "leaky":
+                y = tF.leaky_relu(y, 0.1)
+        elif t == "route":
+            layers = [int(v) for v in sec["layers"].split(",")]
+            parts = [outs_t[l if l >= 0 else len(outs_t) + l]
+                     for l in layers]
+            y = torch.cat(parts, dim=1) if len(parts) > 1 else parts[0]
+            g = int(sec.get("groups", 1))
+            if g > 1:
+                gid = int(sec.get("group_id", 0))
+                cs = y.shape[1] // g
+                y = y[:, gid * cs:(gid + 1) * cs]
+        elif t == "maxpool":
+            k = int(sec.get("size", 2))
+            stride = int(sec.get("stride", k))
+            pad = (k - 1) // 2
+            y = tF.max_pool2d(cur, k, stride=stride, padding=pad)
+        elif t == "upsample":
+            y = tF.interpolate(cur, scale_factor=int(sec.get("stride", 2)),
+                               mode="nearest")
+        elif t == "yolo":
+            y = cur
+        else:
+            y = cur
+        outs_t.append(y)
+        cur = y
+
+    for (idx, feat, _sec) in yolo_outs:
+        ours = np.asarray(feat)                         # (1, H, W, C)
+        theirs = outs_t[idx].numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
