@@ -352,12 +352,17 @@ def _solve_basis(basis4):
     return En, valid, resid
 
 
-def five_point_essential(u: jnp.ndarray, v: jnp.ndarray):
+def five_point_essential(u: jnp.ndarray, v: jnp.ndarray,
+                         n_remix: int = _N_REMIX):
     """Essential matrices from 5 normalized correspondences.
 
     Args:
       u, v: (5, 2) camera-normalized correspondences (K^-1 applied), with the
         epipolar convention v^T E u = 0.
+      n_remix: basis remixes to search (static). The default holds the
+        >=99% Monte-Carlo recovery gate; a RANSAC *fast pass* that falls
+        back to full strength on rejection can run 2 (each remix is ~25%
+        of the solver's cost; per-hypothesis recovery stays ~97%).
 
     Returns:
       E: (MAX_SOLUTIONS, 3, 3) candidates (Frobenius-normalized).
@@ -372,7 +377,7 @@ def five_point_essential(u: jnp.ndarray, v: jnp.ndarray):
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     basis = Vt[-4:].reshape(4, 3, 3)  # rows: X, Y, Z, W
 
-    Q = jnp.asarray(_REMIXES, dtype)  # (_N_REMIX, 4, 4)
+    Q = jnp.asarray(_REMIXES[:max(1, min(n_remix, _N_REMIX))], dtype)
     mixed = jnp.einsum("rij,jab->riab", Q, basis)
     E_all, valid_all, resid_all = jax.vmap(_solve_basis)(mixed)
     E_flat = E_all.reshape(-1, 3, 3)

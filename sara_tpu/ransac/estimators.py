@@ -74,7 +74,8 @@ def estimate_fundamental(key, u, v, mask, threshold: float = 2.0,
 def estimate_relative_pose(key, u, v, mask, K1, K2,
                            threshold_px: float = 4.0,
                            num_samples: int = 1000,
-                           min_inliers: int = 100):
+                           min_inliers: int = 100,
+                           n_remix: int = 0):
     """Robust essential matrix + relative pose from pixel correspondences.
 
     Mirrors the reference RelativePoseEstimator: normalize by K^-1, 5-point
@@ -100,6 +101,8 @@ def estimate_relative_pose(key, u, v, mask, K1, K2,
 
     def solver(sample):
         su, sv = sample
+        if n_remix > 0:
+            return five_point_essential(su, sv, n_remix=n_remix)
         return five_point_essential(su, sv)
 
     def residual(E, data):

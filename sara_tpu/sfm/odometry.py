@@ -74,6 +74,10 @@ class OdometryConfig:
     # match filter VO inlier ratios are high enough that a small first
     # pass almost always succeeds). 0 disables the fast pass.
     rel_pose_samples_fast: int = 128
+    # Basis remixes of the 5-pt solver in the fast pass (full passes keep
+    # the solver default 4): each remix is ~25% of the per-hypothesis
+    # cost, and the rejection fallback already retries at full strength.
+    rel_pose_remix_fast: int = 2
     pnp_samples: int = 1000
     pnp_threshold_px: float = 5.0
     pnp_min_inliers: int = 50
@@ -92,9 +96,10 @@ class OdometryConfig:
 
 @functools.partial(jax.jit, static_argnames=(
     "sift_params", "ratio", "threshold_px", "num_samples", "min_inliers",
-    "undistort"))
+    "undistort", "n_remix"))
 def _fused_frontend(img, umap, vmap_, prev_kp, key, K, sift_params, ratio,
-                    threshold_px, num_samples, min_inliers, undistort):
+                    threshold_px, num_samples, min_inliers, undistort,
+                    n_remix=0):
     """Undistort + detect + match + E-RANSAC as ONE device program.
 
     On the target TPU runtime every dispatch costs ~27 ms RTT; fusing the
@@ -111,7 +116,7 @@ def _fused_frontend(img, umap, vmap_, prev_kp, key, K, sift_params, ratio,
     v = kp.xy[m.j]
     res, R, t = estimate_relative_pose(
         key, prev_kp.xy, v, m.mask, K, K, threshold_px=threshold_px,
-        num_samples=num_samples, min_inliers=min_inliers)
+        num_samples=num_samples, min_inliers=min_inliers, n_remix=n_remix)
     return kp, m, res, R, t
 
 
@@ -228,7 +233,9 @@ class OdometryPipeline:
             img, umap, vmap_, self._prev_keypoints, self._next_key(),
             jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
             self.cfg.rel_pose_threshold_px, n_fast,
-            self.cfg.rel_pose_min_inliers, undistort)
+            self.cfg.rel_pose_min_inliers, undistort,
+            n_remix=(self.cfg.rel_pose_remix_fast
+                     if n_fast < self.cfg.rel_pose_samples else 0))
         ok = self._integrate(kp, m, res, R_rel, t_rel, frame_index)
         if not ok and n_fast < self.cfg.rel_pose_samples:
             # Rare hard frame: retry the relative pose at full strength.
@@ -329,7 +336,9 @@ class OdometryPipeline:
                 jnp.asarray(self.K), jnp.asarray(self.K),
                 threshold_px=self.cfg.rel_pose_threshold_px,
                 num_samples=n_samples,
-                min_inliers=self.cfg.rel_pose_min_inliers)
+                min_inliers=self.cfg.rel_pose_min_inliers,
+                n_remix=(self.cfg.rel_pose_remix_fast
+                         if n_samples < self.cfg.rel_pose_samples else 0))
             if self._integrate(kp, m, res, R_rel, t_rel, frame_index):
                 return True
         return False
