@@ -70,7 +70,7 @@ def estimate_fundamental(key, u, v, mask, threshold: float = 2.0,
                   sample_size=7, num_samples=num_samples, threshold=threshold)
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
+@functools.partial(jax.jit, static_argnames=("num_samples", "n_remix"))
 def estimate_relative_pose(key, u, v, mask, K1, K2,
                            threshold_px: float = 4.0,
                            num_samples: int = 1000,

@@ -61,8 +61,13 @@ class OdometryConfig:
     # The reference SfM pipeline detects WITHOUT the -1 upsampled octave
     # (FeatureParams.hpp:10 `ImagePyramidParams(0)`) — 4x cheaper per frame;
     # the standalone-detector default (SIFTParams()) is first_octave=-1.
+    # desc_sample_nearest stays OFF here: at capacity 1024 the VO frontend
+    # is dispatch-bound, not gather-bound, and on the small VO frames
+    # (fo=0, ds=2 maps) the nearest shift measurably hurts trajectory
+    # accuracy (ATE 0.10 vs 0.04 on the 240x320 room bench).
     sift: SIFTParams = field(default_factory=lambda: SIFTParams(
-        pyramid=_PyramidParams0(), dog=_DoGParams1024(), total_capacity=4096))
+        pyramid=_PyramidParams0(), dog=_DoGParams1024(), total_capacity=4096,
+        desc_sample_nearest=False))
     match_ratio: float = 0.8
     rel_pose_samples: int = 1000
     rel_pose_threshold_px: float = 4.0

@@ -69,15 +69,20 @@ def run_room(args):
 
     t0 = time.perf_counter()
     ok = []
+    frame_ms = []
     for f, im in enumerate(imgs):
+        tf = time.perf_counter()
         accepted = bool(pipe.process_frame(jnp.asarray(im), f))
+        frame_ms.append((time.perf_counter() - tf) * 1e3)
         ok.append(accepted)
         if accepted and closer is not None:
             closer.add_frame(pipe._prev_keypoints)
         print(f"frame {f}: {'ok' if accepted else 'REJECTED'} "
-              f"({pipe.point_cloud.num_points} pts)",
+              f"({pipe.point_cloud.num_points} pts, {frame_ms[-1]:.0f} ms)",
               file=sys.stderr, flush=True)
     elapsed = time.perf_counter() - t0
+    # Steady state excludes the first frames' compiles.
+    steady = np.median(frame_ms[10:]) if len(frame_ms) > 20 else float("nan")
     accepted = sum(ok)
     gt_sel = centers[np.flatnonzero(ok)]
     ate_before = float(ate_rmse(pipe.pose_graph.trajectory(), gt_sel))
@@ -96,6 +101,9 @@ def run_room(args):
         "accepted": accepted,
         "fps": round(accepted / elapsed, 3),
         "ms_per_frame": round(elapsed / max(accepted, 1) * 1e3, 1),
+        "steady_ms_per_frame": round(float(steady), 1),
+        "steady_fps": round(1e3 / float(steady), 2) if steady == steady
+        else None,
         "ate_before_closure": round(ate_before, 5),
         "loop_closed": closed,
         "ate_after_closure": round(ate_after, 5),
