@@ -613,34 +613,47 @@ class OdometryPipeline:
         n_poses = len(self.pose_graph)
         w = self.cfg.ba_window
         start = 0 if w == 0 else max(0, n_poses - w)
-        cams = list(range(start, n_poses))
-        cam_of_vertex = {v: i for i, v in enumerate(cams)}
-
-        members = self.tracker.track_members()
-        obs_cam, obs_pt, obs_uv = [], [], []
-        pt_ids, pt_xyz = [], []
-        pt_index = {}
-        for tid, (frames_arr, feats_arr) in members.items():
-            rep = int(self.tracker.rep_of_tracks(np.asarray([tid]))[0])
-            p = self.point_cloud.point_of_track(rep)
-            if p is None:
-                continue
-            sel = [(f, ft) for f, ft in zip(frames_arr, feats_arr)
-                   if f in cam_of_vertex]
-            if len(sel) < 2:
-                continue
-            if rep not in pt_index:
-                pt_index[rep] = len(pt_ids)
-                pt_ids.append(rep)
-                pt_xyz.append(p)
-            for f, ft in sel:
-                obs_cam.append(cam_of_vertex[f])
-                obs_pt.append(pt_index[rep])
-                obs_uv.append(self.frames[f]["kp"]["xy"][ft])
-        if len(pt_ids) < 8 or len(obs_cam) < 24:
+        # Vectorized window packing. The round-2 version iterated EVERY
+        # track in the session with per-track Python work (incl. a
+        # one-element rep_of_tracks call each); by frame 100 that was
+        # >100 ms/frame of host time growing linearly with history. Only
+        # features detected in window frames matter — slice them off the
+        # global arrays first.
+        tof = self.tracker.track_of_feature
+        offsets = np.asarray(self.tracker.offsets)
+        lo = offsets[start]
+        gids = lo + np.nonzero(tof[lo:] >= 0)[0]
+        if len(gids) == 0:
+            return
+        frames_arr = self.tracker.frame_of(gids)
+        tids = tof[gids]
+        uniq, inv = np.unique(tids, return_inverse=True)
+        cnt = np.bincount(inv)
+        reps = self.tracker.rep_of_tracks(uniq)
+        spt = self.point_cloud.scene_point_of_track
+        sp_idx = np.fromiter((spt.get(int(r), -1) for r in reps), np.int64,
+                             len(reps))
+        keep = (cnt >= 2) & (sp_idx >= 0)
+        kept = np.nonzero(keep)[0]
+        if len(kept) < 8:
+            return
+        pt_of_uniq = np.full(len(uniq), -1, np.int64)
+        pt_of_uniq[kept] = np.arange(len(kept))
+        obs_sel = pt_of_uniq[inv] >= 0
+        obs_cam = (frames_arr[obs_sel] - start).astype(np.int32)
+        obs_pt = pt_of_uniq[inv][obs_sel].astype(np.int32)
+        feats = gids[obs_sel] - offsets[frames_arr[obs_sel]]
+        obs_uv = np.zeros((len(obs_cam), 2))
+        for f in range(start, n_poses):
+            m = frames_arr[obs_sel] == f
+            if m.any():
+                obs_uv[m] = self.frames[f]["kp"]["xy"][feats[m]]
+        pt_ids = reps[kept]
+        pt_xyz = self.point_cloud.points[sp_idx[kept]]
+        if len(obs_cam) < 24:
             return
 
-        C = len(cams)
+        C = n_poses - start
         P = _bucket(len(pt_ids), 64)
         O = _bucket(len(obs_cam), 256)
         poses = self.pose_graph.poses_se3()[start:]
