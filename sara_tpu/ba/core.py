@@ -195,22 +195,27 @@ def _jacobians(p: BAProblem, delta: float, cutoff: float = jnp.inf):
     return r, Jc, Jp, Ji
 
 
-def _jacobians_flat(p: BAProblem, delta: float, cutoff: float = jnp.inf):
-    """Closed-form pinhole Jacobians, Huber-weighted and freeze-masked,
-    in flat layouts: r (O, 2), Jcf (O, 12), Jpf (O, 6)."""
+def _jacobians_closed_form(p: BAProblem, delta: float,
+                           cutoff: float = jnp.inf):
+    """Closed-form pinhole Jacobians (no autodiff program), Huber-weighted
+    and freeze-masked, in the einsum solver's block shapes:
+    r (O, 2), Jc (O, 2, 6), Jp (O, 2, 3)."""
     from sara_tpu.ba.jacobian import pinhole_jacobians
 
     r, Jcf, Jpf = pinhole_jacobians(p.poses, p.points, p.intrinsics,
                                     p.cam_idx, p.pt_idx, p.uv)
+    O = r.shape[0]
+    Jc = Jcf.reshape(O, 2, 6)
+    Jp = Jpf.reshape(O, 2, 3)
     w = _huber_weights(r, delta, p.obs_mask, cutoff)
     r = r * w[:, None]
-    Jcf = Jcf * w[:, None]
-    Jpf = Jpf * w[:, None]
+    Jc = Jc * w[:, None, None]
+    Jp = Jp * w[:, None, None]
     cam_free = _pose_free(p)[p.cam_idx]                        # (O, 6)
     pt_free = (~p.point_fixed)[p.pt_idx].astype(r.dtype)
-    Jcf = Jcf * jnp.concatenate([cam_free, cam_free], axis=1)
-    Jpf = Jpf * pt_free[:, None]
-    return r, Jcf, Jpf
+    Jc = Jc * cam_free[:, None, :]
+    Jp = Jp * pt_free[:, None, None]
+    return r, Jc, Jp
 
 
 def _gauss_newton_blocks(p: BAProblem, r, Jc, Jp):
@@ -226,115 +231,13 @@ def _gauss_newton_blocks(p: BAProblem, r, Jc, Jp):
     return U, V, Wo, bc, bp
 
 
-# ---------------------------------------------------------------------------
-# Flat-layout fast path.
-#
-# The rank-3 per-observation tensors above — (O, 6, 6) outer products,
-# (O, 6, 3) W blocks — put the two tiny trailing axes in the minor tile
-# dimensions, where 6x6 of an (8, 128) vector tile is ~97% padding; the
-# batched tiny einsums lower to dot_generals with the same pathology
-# (measured: the block assembly alone cost 2.66 s at O=800k, ~2500x its
-# roofline; scripts/probe_ba_stages.py). The fast path keeps every
-# per-observation quantity as a flat (O, k) array (k = 12/6/18 packed
-# [i*n + a]) and writes the products as explicit column arithmetic —
-# pure full-width VPU ops. Camera/point-block tensors ((C, 6, 6),
-# (P, 9)) are small or flat. segment_sum stays (it measured fine, and
-# GSPMD's sharded-BA collectives hang off it).
-# ---------------------------------------------------------------------------
-
-
-def _outer_cols(A0, A1, B0, B1, na, nb):
-    """(O, na*nb) columns of sum_i A_i[a] B_i[b] from flat (O, na)/(O, nb)."""
-    cols = [A0[:, a] * B0[:, b] + A1[:, a] * B1[:, b]
-            for a in range(na) for b in range(nb)]
-    return jnp.stack(cols, axis=1)
-
-
-def _blocks_flat(p: BAProblem, r, Jcf, Jpf):
-    """Normal-equation blocks from flat Jacobians.
-
-    Jcf: (O, 12) packed [i*6+a]; Jpf: (O, 6) packed [i*3+a].
-    Returns U (C, 6, 6), Vf (P, 9), Wf (O, 18) packed [a*3+b],
-    bc (C, 6), bp (P, 3).
-    """
-    C = p.poses.shape[0]
-    P = p.points.shape[0]
-    Jc0, Jc1 = Jcf[:, :6], Jcf[:, 6:]
-    Jp0, Jp1 = Jpf[:, :3], Jpf[:, 3:]
-    U = jax.ops.segment_sum(_outer_cols(Jc0, Jc1, Jc0, Jc1, 6, 6),
-                            p.cam_idx, C).reshape(C, 6, 6)
-    Vf = jax.ops.segment_sum(_outer_cols(Jp0, Jp1, Jp0, Jp1, 3, 3)
-                             [:, (0, 1, 2, 4, 5, 8)], p.pt_idx, P)
-    Wf = _outer_cols(Jc0, Jc1, Jp0, Jp1, 6, 3)                 # (O, 18)
-    r0, r1 = r[:, 0], r[:, 1]
-    bc = -jax.ops.segment_sum(
-        jnp.stack([Jc0[:, a] * r0 + Jc1[:, a] * r1 for a in range(6)], 1),
-        p.cam_idx, C)
-    bp = -jax.ops.segment_sum(
-        jnp.stack([Jp0[:, a] * r0 + Jp1[:, a] * r1 for a in range(3)], 1),
-        p.pt_idx, P)
-    return U, Vf, Wf, bc, bp
-
-
-# Index maps for symmetric 3x3 blocks stored as 6 columns
-# (00, 01, 02, 11, 12, 22).
-_SYM6 = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
-
-
-def _vinv_flat(Vf, lam):
-    """Damped closed-form inverses of symmetric 3x3 blocks stored flat.
-
-    Vf: (P, 6) upper-triangle columns. Returns (P, 9) row-major inverse
-    [a*3+b] — adjugate over flat columns, all full-width vector ops.
-    """
-    a = Vf[:, 0] * (1.0 + lam) + 1e-8
-    b = Vf[:, 1]
-    c = Vf[:, 2]
-    d = Vf[:, 3] * (1.0 + lam) + 1e-8
-    e = Vf[:, 4]
-    f = Vf[:, 5] * (1.0 + lam) + 1e-8
-    A = d * f - e * e
-    B = c * e - b * f
-    Cc = b * e - c * d
-    D = a * f - c * c
-    E = b * c - a * e
-    F = a * d - b * b
-    det = a * A + b * B + c * Cc
-    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
-    inv = jnp.stack([A, B, Cc, B, D, E, Cc, E, F], axis=1)
-    return inv / det[:, None]
-
-
-def _w_matvec3(Wf, v3):
-    """(O, 6) rows W v from flat W (O, 18) [a*3+b] and v (O, 3)."""
-    return jnp.stack([
-        Wf[:, 3 * a] * v3[:, 0] + Wf[:, 3 * a + 1] * v3[:, 1]
-        + Wf[:, 3 * a + 2] * v3[:, 2] for a in range(6)], axis=1)
-
-
-def _wt_matvec6(Wf, v6):
-    """(O, 3) rows W^T v from flat W (O, 18) and v (O, 6)."""
-    return jnp.stack([
-        sum(Wf[:, 3 * a + b] * v6[:, a] for a in range(6))
-        for b in range(3)], axis=1)
-
-
-def _sym9_matvec(Mf, v3):
-    """(N, 3) rows M v from flat row-major (N, 9) blocks."""
-    return jnp.stack([
-        Mf[:, 3 * a] * v3[:, 0] + Mf[:, 3 * a + 1] * v3[:, 1]
-        + Mf[:, 3 * a + 2] * v3[:, 2] for a in range(3)], axis=1)
-
-
-def _schur_matvec_flat(x, U_d, Vinv_f, Wf, cam_idx, pt_idx, C, P):
-    """S x = U_d x - W V^-1 W^T x with flat per-observation layouts."""
-    Ux = jnp.einsum("cab,cb->ca", U_d, x)
-    WT_x = _wt_matvec6(Wf, x[cam_idx])                         # (O, 3)
-    VWT_x = jax.ops.segment_sum(WT_x, pt_idx, P)
-    y = _sym9_matvec(Vinv_f, VWT_x)                            # (P, 3)
-    Wy = _w_matvec3(Wf, y[pt_idx])                             # (O, 6)
-    WVWT_x = jax.ops.segment_sum(Wy, cam_idx, C)
-    return Ux - WVWT_x
+# (A fully "flat-layout" solver variant — per-observation quantities as
+# (O, k) column arrays with hand-written column arithmetic — was built and
+# A/B-measured in-process at C=256/O=800k: 1248 ms/LM-iter vs 705 for the
+# einsum solver. XLA fuses the einsum program better than 36-column
+# jnp.stack chains. What DOES win is the hybrid below: closed-form
+# Jacobians (no jacfwd) reshaped into the einsum solver's (O, 2, 6)
+# blocks — 644 ms/LM-iter, best of the three.)
 
 
 def _damp(M, lam):
@@ -429,30 +332,6 @@ def _pcg_tree(matvec, b, precond, iters: int):
     return x
 
 
-def _solve_lm_flat(p: BAProblem, r, Jcf, Jpf, lam, opts: BAOptions):
-    """One damped normal-equation solve, flat fast path (pinhole,
-    constant intrinsics). Returns (dpose (C, 6), dpoint (P, 3))."""
-    C = p.poses.shape[0]
-    P = p.points.shape[0]
-    cam_idx, pt_idx = p.cam_idx, p.pt_idx
-    U, Vf, Wf, bc, bp = _blocks_flat(p, r, Jcf, Jpf)
-    U_d = _damp(U, lam)
-    Uinv = _inv_blocks(U_d)
-    Vinv_f = _vinv_flat(Vf, lam)
-
-    Vb = _sym9_matvec(Vinv_f, bp)
-    Wv = _w_matvec3(Wf, Vb[pt_idx])
-    rhs = bc - jax.ops.segment_sum(Wv, cam_idx, C)
-    matvec = lambda x: _schur_matvec_flat(x, U_d, Vinv_f, Wf,
-                                          cam_idx, pt_idx, C, P)
-    dc = _pcg(matvec, rhs, Uinv, opts.cg_iters)
-    WTdc = jax.ops.segment_sum(_wt_matvec6(Wf, dc[cam_idx]), pt_idx, P)
-    dp = _sym9_matvec(Vinv_f, bp - WTdc)
-    dc = dc * _pose_free(p)
-    dp = jnp.where(p.point_fixed[:, None], 0.0, dp)
-    return dc, dp
-
-
 def _solve_lm(p: BAProblem, r, Jc, Jp, Ji, lam, opts: BAOptions):
     """One damped normal-equation solve.
 
@@ -537,14 +416,13 @@ def bundle_adjust(p: BAProblem, opts: BAOptions = BAOptions()):
     def step(carry, _):
         prob, lam, cost = carry
         if fast:
-            r, Jcf, Jpf = _jacobians_flat(prob, opts.huber_delta,
-                                          opts.outlier_cutoff)
-            dc, dp = _solve_lm_flat(prob, r, Jcf, Jpf, lam, opts)
-            di = None
+            r, Jc, Jp = _jacobians_closed_form(prob, opts.huber_delta,
+                                               opts.outlier_cutoff)
+            Ji = None
         else:
             r, Jc, Jp, Ji = _jacobians(prob, opts.huber_delta,
                                        opts.outlier_cutoff)
-            dc, dp, di = _solve_lm(prob, r, Jc, Jp, Ji, lam, opts)
+        dc, dp, di = _solve_lm(prob, r, Jc, Jp, Ji, lam, opts)
         cand = prob._replace(poses=prob.poses + dc, points=prob.points + dp)
         if di is not None:
             cand = cand._replace(intrinsics=prob.intrinsics + di)

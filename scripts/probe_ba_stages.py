@@ -83,8 +83,13 @@ def main():
               flush=True)
         return out
 
+    from sara_tpu.ba.core import _jacobians_closed_form
+
     jcost = jax.jit(lambda pr: ba_cost(pr, 4.0))
     timeit("cost", jcost, prob)
+
+    jjcf = jax.jit(lambda pr: _jacobians_closed_form(pr, 4.0, 6.0))
+    timeit("jacobians_closed", jjcf, prob)
 
     jjac = jax.jit(lambda pr: _jacobians(pr, 4.0, 6.0))
     r, Jc, Jp, _ = timeit("jacobians", jjac, prob)
