@@ -29,8 +29,12 @@ import os
 
 # Batch 8 overtook batch 4 once the frontend's per-frame compute shrank 4x
 # (69.5 vs 50.0 frames/s measured); override with SARA_BENCH_BATCH.
-BATCH = int(os.environ.get("SARA_BENCH_BATCH", "8"))
-ITERS = 5
+# Batch 1 = a single-pair program with depth-2 pipelining (dispatch pair
+# i+1 before fetching pair i): measured 38.7 frames/s vs 35.7 for the
+# vmapped batch-8 program — vmap inflates per-frame device time ~1.5x
+# (28 vs 19 ms) and pipelining already hides the ~27 ms dispatch RTT.
+BATCH = int(os.environ.get("SARA_BENCH_BATCH", "1"))
+ITERS = 20 if BATCH == 1 else 5
 # Detector capacity operating point (total = 2x per-octave). The default
 # 8192 measures kp 1.70x OpenCV; 6144 trades kp margin (1.27x) for
 # throughput. Both hold correct_match_ratio >= 0.95 on the primary scene.
@@ -149,7 +153,8 @@ def bench_ours(a, b):
     log(f"single pair compile+run: {time.perf_counter()-t0:.1f}s; "
         f"kp {n_a}/{n_b}, matches {n_m}")
 
-    # --- batched throughput: one program per BATCH pairs. ---
+    # --- batched throughput: one program per BATCH pairs (BATCH=1 skips
+    # the vmap entirely). ---
     @functools.partial(jax.jit, static_argnames=("p", "q"))
     def batched(imgs_a, imgs_b, p=params, q=mp):
         def one(ia, ib):
@@ -158,6 +163,8 @@ def bench_ours(a, b):
             mm = match_descriptors(xa, xb, q)
             return mm.count()
 
+        if BATCH == 1:
+            return one(imgs_a[0], imgs_b[0])
         return jax.vmap(one)(imgs_a, imgs_b)
 
     rs = np.random.RandomState(0)
