@@ -121,6 +121,21 @@ class DisjointSets:
             self._rank[ra] += 1
 
 
+def dense_labels(raw: np.ndarray):
+    """Compress arbitrary integer labels in [0, n) to dense [0, k).
+    Returns (labels (n,) int64, k). Native fast path; np.unique fallback."""
+    raw = np.ascontiguousarray(raw, dtype=np.int64)
+    n = len(raw)
+    lib = _load_native()
+    if lib is not None and n:
+        out = raw.copy()
+        scratch = np.empty(n, dtype=np.int64)
+        k = lib.compress_labels(_ptr(out), n, _ptr(scratch))
+        return out, int(k)
+    uniq, labels = np.unique(raw, return_inverse=True)
+    return labels.astype(np.int64), len(uniq)
+
+
 def connected_components(n: int, a: np.ndarray, b: np.ndarray):
     """One-shot CC over an edge list. Returns (labels (n,), num_components)
     with dense labels in [0, k)."""

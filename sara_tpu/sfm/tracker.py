@@ -18,7 +18,8 @@ from typing import Dict, List
 
 import numpy as np
 
-from sara_tpu.sfm.disjoint_sets import connected_components
+from sara_tpu.sfm.disjoint_sets import (DisjointSets, connected_components,
+                                        dense_labels)
 
 
 class FeatureTracker:
@@ -41,6 +42,13 @@ class FeatureTracker:
         self.component_of_feature: np.ndarray | None = None
         self.comp_min_gid: np.ndarray | None = None
         self.rep_of_track: np.ndarray | None = None
+        # Persistent union-find (unions are monotone — only NEW edges are
+        # applied per compute_tracks call; the structure is recreated with
+        # doubled capacity and all edges replayed when features outgrow it,
+        # amortized O(1)). The round-2 implementation rebuilt the whole
+        # union-find from the full edge history every frame.
+        self._uf: DisjointSets | None = None
+        self._uf_edges_done = 0
 
     # -- construction -------------------------------------------------------
 
@@ -86,25 +94,39 @@ class FeatureTracker:
             self.comp_min_gid = np.empty(0, np.int64)
             self.rep_of_track = np.empty(0, np.int64)
             return self.track_of_feature, 0
-        if self.edges_a:
-            a = np.concatenate(self.edges_a)
-            b = np.concatenate(self.edges_b)
-        else:
-            a = np.empty(0, np.int64)
-            b = np.empty(0, np.int64)
-        labels, k = connected_components(n, a, b)
+        # Persistent union-find: apply only the edge batches added since
+        # the last call (full relabel-from-scratch grew linearly with
+        # history — 155 ms/frame by frame 100 of a VO run).
+        if self._uf is None or self._uf.n < n:
+            self._uf = DisjointSets(max(2 * n, 1 << 16))
+            self._uf_edges_done = 0
+        for e in range(self._uf_edges_done, len(self.edges_a)):
+            self._uf.union_edges(self.edges_a[e], self.edges_b[e])
+        self._uf_edges_done = len(self.edges_a)
+        labels, k = dense_labels(self._uf.components()[:n])
 
         frames = self.frame_of(np.arange(n))
         resp = np.concatenate(self.responses) if self.responses else np.empty(0)
 
         # Per-frame NMS within each component: keep the strongest |response|
-        # feature of each (component, frame) pair.
-        order = np.lexsort((-np.abs(resp), frames, labels))
-        lab_o = labels[order]
-        frm_o = frames[order]
-        keep_first = np.ones(n, bool)
-        keep_first[1:] = (lab_o[1:] != lab_o[:-1]) | (frm_o[1:] != frm_o[:-1])
-        kept = order[keep_first]
+        # feature of each (component, frame) pair. Integer composite key +
+        # stable argsort + per-run argmax — ~2x the 3-key lexsort (the
+        # float key forces mergesort passes), bit-identical output.
+        F = len(self.offsets)
+        key = labels * F + frames
+        order = np.argsort(key, kind="stable")
+        key_o = key[order]
+        resp_o = np.abs(resp)[order]
+        starts = np.ones(n, bool)
+        starts[1:] = key_o[1:] != key_o[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_max = np.maximum.reduceat(resp_o, np.nonzero(starts)[0])
+        is_max = resp_o == run_max[run_id]
+        idx_sorted = np.nonzero(is_max)[0]
+        rid = run_id[idx_sorted]
+        first_of_run = np.ones(len(idx_sorted), bool)
+        first_of_run[1:] = rid[1:] != rid[:-1]
+        kept = order[idx_sorted[first_of_run]]
 
         # Count distinct frames per component (over kept members).
         comp_sizes = np.bincount(labels[kept], minlength=k)
