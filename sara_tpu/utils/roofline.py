@@ -94,7 +94,8 @@ def sift_frame(H: int, W: int, scales: int = 3, first_octave: int = -1,
 
     pyr_bytes = area * G * 4 * 2
     ori_bytes = area / 4.0 * scales * 36 * 2 * 2     # bf16 dense maps
-    desc_bytes = keypoints * (64 * 36 * 2 + 128 * 4)
+    # 16 nearest row-gathers per keypoint (round-3 default; bilinear = 64)
+    desc_bytes = keypoints * (16 * 36 * 2 + 128 * 4)
     bytes_ = pyr_bytes + ori_bytes + desc_bytes
     return Estimate(flops, bytes_,
                     f"SIFT {H}x{W} fo={first_octave} K={keypoints}")
