@@ -47,14 +47,16 @@ MAX_SOLUTIONS = 10
 # margin.
 _N_REMIX = 4
 _ROOTS_PER_REMIX = 8
-_GRID = 96
+_GRID = 192
 _PHI_MAX = 1.45           # |z| <= tan(1.45) ~ 8.2 per remix
-# 12 halvings of a ~0.03 rad grid cell + 2 Newton steps on the series reach
-# ~1e-7 rad; the downstream Gauss-Newton polish on (x, y, z) absorbs the
-# rest. (40 blind halvings cost 28 more sequential steps per program for
-# precision f32 cannot even represent.)
-_BISECT_ITERS = 12
-_NEWTON_ITERS = 2
+# Sequential depth is what costs on this runtime (each loop step is a
+# dependent kernel): a 2x finer grid (one extra column in a single batched
+# matmul) lets 4 halvings of a ~0.015 rad cell + 3 clamped Newton steps on
+# the series reach the same ~1e-7 rad the old 12-halving chain did, at 9
+# fewer sequential steps per E-RANSAC program. Gated by the >=99%
+# Monte-Carlo recovery test (scripts/mc_fivepoint.py).
+_BISECT_ITERS = 4
+_NEWTON_ITERS = 3
 _N_SUSPICIOUS = 3         # cells re-examined for hidden root pairs
 _SUBDIV = 16              # subsamples per suspicious cell
 
