@@ -18,8 +18,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from sara_tpu.sfm.disjoint_sets import (DisjointSets, connected_components,
-                                        dense_labels)
+from sara_tpu.sfm.disjoint_sets import DisjointSets, dense_labels
 
 
 class FeatureTracker:
