@@ -105,12 +105,17 @@ def load_sfm_state(path: str, pipeline):
     tr.offsets = list(meta["tracker_offsets"])
     tr.counts = list(meta["tracker_counts"])
     tr._total = (tr.offsets[-1] + tr.counts[-1]) if tr.offsets else 0
-    # The persistent union-find may hold unions from whatever this pipeline
-    # object did before the load — rebuild from the loaded edges.
+    # The persistent union-find / native tracker core may hold unions from
+    # whatever this pipeline object did before the load — rebuild from the
+    # loaded state.
     tr._uf = None
     tr._uf_edges_done = 0
+    tr._tk = None
     if "responses" in data:
-        tr.responses = [data["responses"]]
+        # Split back into one batch per frame (the incremental core keys
+        # features to frames by responses-batch position).
+        resp = data["responses"]
+        tr.responses = [resp[o:o + c] for o, c in zip(tr.offsets, tr.counts)]
     else:
         tr.responses = []
     if "edges_a" in data:

@@ -33,8 +33,11 @@ def _load_native():
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            src = os.path.join(_NATIVE_DIR, "sara_native.cpp")
+            stale = (os.path.exists(src) and os.path.exists(_LIB_PATH)
+                     and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+            if not os.path.exists(_LIB_PATH) or stale:
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                                capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.ds_create.restype = ctypes.c_void_p
@@ -51,6 +54,22 @@ def _load_native():
             lib.compress_labels.restype = ctypes.c_int64
             lib.compress_labels.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.tk_create.restype = ctypes.c_void_p
+            lib.tk_create.argtypes = [ctypes.c_int64]
+            lib.tk_destroy.argtypes = [ctypes.c_void_p]
+            lib.tk_add_features.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.tk_union_edges.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.tk_fill.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.tk_tracks.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -119,6 +138,69 @@ class DisjointSets:
         self._parent[rb] = ra
         if self._rank[ra] == self._rank[rb]:
             self._rank[ra] += 1
+
+
+class TrackerCore:
+    """Native incremental union-find + per-(component, frame) non-max
+    suppression (winner maps merged small-into-large on union — amortized
+    flat per-frame cost). Returns None from :func:`make_tracker_core` when
+    the native library is unavailable; callers then use the batch path.
+    """
+
+    def __init__(self, capacity: int, lib):
+        self.capacity = int(capacity)
+        self.n = 0
+        self._lib = lib
+        self._h = lib.tk_create(self.capacity)
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.tk_destroy(self._h)
+            self._h = None
+
+    def add_features(self, frame: int, responses: np.ndarray):
+        r = np.ascontiguousarray(responses, dtype=np.float32)
+        self._lib.tk_add_features(self._h, int(frame), _ptr(r), len(r))
+        self.n += len(r)
+
+    def union_edges(self, a: np.ndarray, b: np.ndarray):
+        a = np.ascontiguousarray(a, dtype=np.int64)
+        b = np.ascontiguousarray(b, dtype=np.int64)
+        self._lib.tk_union_edges(self._h, _ptr(a), _ptr(b), len(a))
+
+    def fill(self):
+        """(roots, kept, comp_min_gid, comp_nframes) — all per feature."""
+        n = self.n
+        roots = np.empty(n, np.int64)
+        kept = np.empty(n, np.uint8)
+        comp_min = np.empty(n, np.int64)
+        comp_nframes = np.empty(n, np.int32)
+        self._lib.tk_fill(self._h, n, _ptr(roots), _ptr(kept), _ptr(comp_min),
+                          _ptr(comp_nframes))
+        return roots, kept.astype(bool), comp_min, comp_nframes
+
+    def tracks(self, min_length: int):
+        """One native pass: (track_of_feature, component_of_feature,
+        comp_min_gid (k,), rep_of_track (t,), k, t)."""
+        n = self.n
+        out_track = np.empty(n, np.int64)
+        out_label = np.empty(n, np.int64)
+        comp_min = np.empty(n, np.int64)
+        reps = np.empty(n, np.int64)
+        k = ctypes.c_int64()
+        t = ctypes.c_int64()
+        self._lib.tk_tracks(self._h, n, int(min_length), _ptr(out_track),
+                            _ptr(out_label), _ptr(comp_min), _ptr(reps),
+                            ctypes.byref(k), ctypes.byref(t))
+        return (out_track, out_label, comp_min[:k.value].copy(),
+                reps[:t.value].copy(), k.value, t.value)
+
+
+def make_tracker_core(capacity: int):
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tk_create"):
+        return None
+    return TrackerCore(capacity, lib)
 
 
 def dense_labels(raw: np.ndarray):

@@ -93,6 +93,66 @@ def test_tracker_basic():
     assert lens == [2, 3]
 
 
+def test_tracker_incremental_matches_batch():
+    """The native incremental NMS core and the NumPy batch path must agree
+    bit-for-bit on randomized multi-frame match graphs (incl. component
+    merges, response ties, and min-length filtering)."""
+    rs = np.random.RandomState(7)
+    from sara_tpu.sfm.tracker import FeatureTracker
+
+    def build(seed):
+        rs = np.random.RandomState(seed)
+        tr = FeatureTracker()
+        F, N = 12, 40
+        for f in range(F):
+            # Quantized responses force ties to exercise the gid tiebreak.
+            tr.add_frame(N, rs.randint(0, 4, N).astype(np.float32))
+        for f in range(1, F):
+            m = rs.randint(5, 15)
+            tr.add_matches(f - 1, f, rs.randint(0, N, m), rs.randint(0, N, m))
+        # A long-range (loop-closure-like) edge batch that merges old
+        # components.
+        tr.add_matches(0, F - 1, rs.randint(0, N, 6), rs.randint(0, N, 6))
+        return tr
+
+    for seed in range(5):
+        a = build(seed)
+        b = build(seed)
+        for min_len in (2, 3):
+            la, ka = a.compute_tracks(min_len)          # incremental (native)
+            lb, kb = b._compute_tracks_batch(min_len)   # batch oracle
+            assert ka == kb
+            np.testing.assert_array_equal(la, lb)
+            np.testing.assert_array_equal(a.comp_min_gid[a.component_of_feature],
+                                          b.comp_min_gid[b.component_of_feature])
+            np.testing.assert_array_equal(a.rep_of_track, b.rep_of_track)
+
+
+def test_tracker_incremental_calls_interleaved():
+    """Incremental calls after each frame must equal one batch call at the
+    end (the VO pipeline calls compute_tracks every frame)."""
+    from sara_tpu.sfm.tracker import FeatureTracker
+
+    rs = np.random.RandomState(3)
+    inc = FeatureTracker()
+    bat = FeatureTracker()
+    F, N = 10, 30
+    for f in range(F):
+        resp = rs.randint(0, 3, N).astype(np.float32)
+        inc.add_frame(N, resp)
+        bat.add_frame(N, resp)
+        if f:
+            m = rs.randint(4, 12)
+            ia, ib = rs.randint(0, N, m), rs.randint(0, N, m)
+            inc.add_matches(f - 1, f, ia, ib)
+            bat.add_matches(f - 1, f, ia, ib)
+        inc.compute_tracks(2)  # exercised every frame
+    la, ka = inc.compute_tracks(2)
+    lb, kb = bat._compute_tracks_batch(2)
+    assert ka == kb
+    np.testing.assert_array_equal(la, lb)
+
+
 def test_vo_pipeline_10_frames():
     kps, centers_gt, K = _make_sequence(n_frames=10, noise=0.2)
     cfg = OdometryConfig(rel_pose_samples=200, pnp_samples=200,
