@@ -1,7 +1,9 @@
 """Bundle adjustment: Levenberg-Marquardt + Schur complement, TPU-native."""
 
 from sara_tpu.ba.core import (
-    BAProblem, BAOptions, bundle_adjust, ba_cost, project_obs,
+    BAProblem, BAOptions, bundle_adjust, bundle_adjust_cg, ba_cost,
+    project_obs,
 )
 
-__all__ = ["BAProblem", "BAOptions", "bundle_adjust", "ba_cost", "project_obs"]
+__all__ = ["BAProblem", "BAOptions", "bundle_adjust", "bundle_adjust_cg",
+           "ba_cost", "project_obs"]

@@ -80,6 +80,15 @@ class BAOptions(NamedTuple):
     lambda_down: float = 0.5
     lambda_min: float = 1e-9
     lambda_max: float = 1e6
+    # Solver selection: "auto" uses the explicit dense-Schur direct solver
+    # (ba/dense_schur.py — no gathers/scatters/CG) for plain pinhole
+    # problems with <= dense_max_cameras cameras and a bounded point-major
+    # padding inflation; "cg" forces the matrix-free Schur+PCG path
+    # (sharded/multi-host solvers and huge C), "dense" forces dense.
+    solver: str = "auto"
+    dense_max_cameras: int = 512
+    dense_chunk: int = 16384
+    dense_max_inflation: float = 8.0
 
 
 def _project(intr, pose6, X):
@@ -407,9 +416,33 @@ def _solve_lm(p: BAProblem, r, Jc, Jp, Ji, lam, opts: BAOptions):
     return dc, dp, di
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
 def bundle_adjust(p: BAProblem, opts: BAOptions = BAOptions()):
-    """Robust LM bundle adjustment. Returns (problem, info dict)."""
+    """Robust LM bundle adjustment. Returns (problem, info dict).
+
+    Dispatches to the explicit dense-Schur solver (ba/dense_schur.py) when
+    eligible (host context, plain pinhole, moderate camera count), else to
+    the matrix-free Schur+PCG program (:func:`bundle_adjust_cg`)."""
+    eligible = (opts.solver in ("auto", "dense")
+                and p.intr_free is None and p.intrinsics.shape[0] == 4
+                and p.poses.shape[0] <= opts.dense_max_cameras
+                and not isinstance(p.pt_idx, jax.core.Tracer))
+    if eligible:
+        from sara_tpu.ba.dense_schur import (dense_schur_bundle_adjust,
+                                             pack_pt_major)
+
+        ptm, stats = pack_pt_major(p, chunk=opts.dense_chunk)
+        if (opts.solver == "dense"
+                or stats["inflation"] <= opts.dense_max_inflation):
+            poses, points, info = dense_schur_bundle_adjust(
+                ptm, opts, stats["chunk"])
+            P = p.points.shape[0]
+            return p._replace(poses=poses, points=points[:P]), info
+    return bundle_adjust_cg(p, opts)
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def bundle_adjust_cg(p: BAProblem, opts: BAOptions = BAOptions()):
+    """Matrix-free Schur+PCG LM program (jittable / shardable)."""
 
     fast = p.intr_free is None and p.intrinsics.shape[0] == 4
 

@@ -1,0 +1,375 @@
+"""Explicit dense Schur-complement bundle adjustment — DENSE_SCHUR, the TPU way.
+
+Replaces the matrix-free Schur+CG solver for small-to-moderate camera counts
+(reference: Ceres DENSE_SCHUR in cpp/src/DO/Sara/SfM/BuildingBlocks/
+BundleAdjuster.cpp:184-226). The round-3 analysis (NOTES.md) showed the CG
+path's floor is gather/scatter row rate: every CG matvec needs per-
+observation row passes at ~20-30 ns/row, so 15 CG iterations cost ~0.4-0.7 s
+at O=800k regardless of arithmetic.
+
+This solver removes EVERY gather and scatter from the LM iteration:
+
+- observations live in a POINT-MAJOR PADDED layout (P, Sp): all
+  observations of a point occupy one row of Sp slots (validity-masked), so
+  every point-side reduction (V blocks, bp, back-substitution) is a free
+  reshape-sum;
+- camera-side interactions go through ONE-HOT MATMULS: with
+  E[p,s,c] = [cam(p,s) == c], pose gathers become ``E @ poses`` and the
+  camera-side reductions (U blocks, bc) become ``E^T @ cols`` — MXU work
+  instead of scatter passes;
+- the reduced camera system S = U_d - W V_d^{-1} W^T is built EXPLICITLY:
+  per-point dense camera-block columns D_p (6C x 3) come from a batched
+  one-hot matmul, and S accumulates as one big MXU contraction
+  sum_p (D_p V_p^{-1}) D_p^T over (point, 3) — then ONE dense solve of the
+  (6C, 6C) system replaces the whole CG loop. Exact Schur, exact solve,
+  better LM steps than 15-iteration inexact CG.
+
+Cost model: the S contraction is 2 * 3P * (6C)^2 FLOPs — MXU-bound and
+tiny for C <= 512 (1.4 TFLOP at C=256/P=100k); everything else is a few
+bandwidth sweeps over (P*Sp, ~128)-shaped row arrays. Padding inflation
+P*Sp/O is bounded by the max track length; ``pack_pt_major`` reports it so
+the dispatcher can fall back to the CG path for pathological layouts.
+
+Used automatically by :func:`sara_tpu.ba.bundle_adjust` (plain pinhole
+problems, C within ``dense_max_cameras``); the matrix-free CG path remains
+for huge C, optimizable intrinsics, Brown-Conrady residuals, and the
+sharded/multi-host solvers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sara_tpu.ba.jacobian import pinhole_jacobians_gathered
+
+
+class PtMajorBA(NamedTuple):
+    """Point-major padded BA problem (all arrays fixed-shape).
+
+    poses:       (C, 6) angle-axis + translation (world->camera).
+    points:      (P, 3).
+    intrinsics:  (4,) [fx, fy, cx, cy].
+    cam_idx:     (P, Sp) int32 camera of each observation slot.
+    uv:          (P, Sp, 2) observed pixels.
+    slot_mask:   (P, Sp) bool — valid observation slots.
+    pose_free:   (C, 6) float — 1 for FREE pose components.
+    point_fixed: (P,) bool.
+    """
+
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    intrinsics: jnp.ndarray
+    cam_idx: jnp.ndarray
+    uv: jnp.ndarray
+    slot_mask: jnp.ndarray
+    pose_free: jnp.ndarray
+    point_fixed: jnp.ndarray
+
+
+def _bucket(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack_pt_major(p, sp_min: int = 8, chunk: int = 16384):
+    """Host-side conversion BAProblem -> (PtMajorBA, stats dict).
+
+    Sorts the valid observations by point and lays them out as (P, Sp)
+    padded slots, Sp = power-of-two bucket of the max observations per
+    point. Returns the packed problem and {"sp": Sp, "inflation": P*Sp/O}.
+    """
+    pt = np.asarray(p.pt_idx)
+    cam = np.asarray(p.cam_idx)
+    uv = np.asarray(p.uv)
+    mask = np.asarray(p.obs_mask)
+    P = int(p.points.shape[0])
+    C = int(p.poses.shape[0])
+
+    pt_v = pt[mask]
+    cam_v = cam[mask]
+    uv_v = uv[mask]
+    counts = np.bincount(pt_v, minlength=P)
+    sp_max = int(counts.max()) if len(pt_v) else 1
+    Sp = _bucket(max(sp_max, 1), sp_min)
+
+    order = np.argsort(pt_v, kind="stable")
+    pt_s = pt_v[order]
+    starts = np.zeros(P, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    slot = np.arange(len(pt_s)) - starts[pt_s]
+    flat = pt_s * Sp + slot
+
+    cam_ps = np.zeros(P * Sp, np.int32)
+    uv_ps = np.zeros((P * Sp, 2), uv.dtype)
+    m_ps = np.zeros(P * Sp, bool)
+    cam_ps[flat] = cam_v[order]
+    uv_ps[flat] = uv_v[order]
+    m_ps[flat] = True
+
+    # Pad P to a multiple of the chunk size (padded points: no slots,
+    # frozen).
+    Q = min(chunk, _bucket(P, 256))
+    P_pad = ((P + Q - 1) // Q) * Q
+    pose_fixed = np.asarray(p.pose_fixed)
+    if pose_fixed.ndim == 1:
+        pose_fixed = np.broadcast_to(pose_fixed[:, None], (C, 6))
+    pose_free = (~pose_fixed).astype(np.asarray(p.poses).dtype)
+
+    def pad(a, fill=0):
+        out = np.full((P_pad,) + a.shape[1:], fill, a.dtype)
+        out[:P] = a
+        return out
+
+    points = pad(np.asarray(p.points))
+    point_fixed = pad(np.asarray(p.point_fixed), True)
+
+    ptm = PtMajorBA(
+        poses=p.poses,
+        points=jnp.asarray(points),
+        intrinsics=p.intrinsics,
+        cam_idx=jnp.asarray(pad(cam_ps.reshape(P, Sp))),
+        uv=jnp.asarray(pad(uv_ps.reshape(P, Sp, 2))),
+        slot_mask=jnp.asarray(pad(m_ps.reshape(P, Sp))),
+        pose_free=jnp.asarray(pose_free),
+        point_fixed=jnp.asarray(point_fixed),
+    )
+    O = max(int(mask.sum()), 1)
+    return ptm, {"sp": Sp, "chunk": Q, "inflation": P_pad * Sp / O,
+                 "n_obs": O}
+
+
+# -- chunked kernels ---------------------------------------------------------
+
+
+def _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q, pose_free,
+                       point_fixed_q, delta, cutoff):
+    """Residuals + Huber-weighted Jacobians for one point chunk, all in
+    (Q*Sp,) flat component layout. No gathers: per-slot pose rows come from
+    the one-hot matmul E @ poses."""
+    Q, Sp, C = E.shape
+    dt = poses.dtype
+    pose_ps = jnp.einsum("qsc,cd->qsd", E, poses)           # (Q, Sp, 6)
+    free_ps = jnp.einsum("qsc,cd->qsd", E, pose_free)       # (Q, Sp, 6)
+    N = Q * Sp
+    w = pose_ps[..., :3].reshape(N, 3)
+    tt = pose_ps[..., 3:].reshape(N, 3)
+    Xp = jnp.broadcast_to(points_q[:, None, :], (Q, Sp, 3)).reshape(N, 3)
+    r, Jcf, Jpf = pinhole_jacobians_gathered(
+        w, tt, Xp, intr, uv_q.reshape(N, 2))
+    mflat = m_q.reshape(N)
+    n = jnp.linalg.norm(r, axis=-1)
+    hw = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(n, 1e-12)))
+    hw = jnp.where(n > cutoff * delta, 0.0, hw)
+    hw = jnp.where(mflat, hw, 0.0).astype(dt)
+    r = r * hw[:, None]
+    Jcf = Jcf * hw[:, None]
+    Jpf = Jpf * hw[:, None]
+    # Freeze masks: zero columns of fixed pose components / points.
+    Jcf = (Jcf.reshape(N, 2, 6) * free_ps.reshape(N, 6)[:, None, :]
+           ).reshape(N, 12)
+    ptfree = (~point_fixed_q).astype(dt)
+    Jpf = Jpf * jnp.repeat(ptfree, Sp)[:, None]
+    return r, Jcf, Jpf
+
+
+def _vinv3(V, lam, dt):
+    """Damped closed-form 3x3 block inverses (adjugate / det)."""
+    d = jnp.eye(3, dtype=dt)
+    Vd = V + lam * V * d + 1e-8 * d
+    a, b, c = Vd[:, 0, 0], Vd[:, 0, 1], Vd[:, 0, 2]
+    e, f, g = Vd[:, 1, 0], Vd[:, 1, 1], Vd[:, 1, 2]
+    h, i, j = Vd[:, 2, 0], Vd[:, 2, 1], Vd[:, 2, 2]
+    A = f * j - g * i
+    B = -(e * j - g * h)
+    Cc = e * i - f * h
+    det = a * A + b * B + c * Cc
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        A, -(b * j - c * i), b * g - c * f,
+        B, a * j - c * h, -(a * g - c * e),
+        Cc, -(a * i - b * h), a * f - b * e,
+    ], axis=-1).reshape(-1, 3, 3)
+    return adj / det[:, None, None]
+
+
+def _chunk_stats(poses, intr, pose_free, lam, chunk_in, delta, cutoff):
+    """One chunk's contribution to the reduced camera system.
+
+    Returns (Ucat (C, 42) [U36 | J^T r], S_pt (C6, C6) contribution
+    sum_p D V^-1 D^T, rhs_pt (C, 6) contribution sum_p D V^-1 bp)."""
+    points_q, cam_q, uv_q, m_q, ptfix_q = chunk_in
+    Q, Sp = cam_q.shape
+    C = poses.shape[0]
+    dt = poses.dtype
+    E = (jax.nn.one_hot(cam_q, C, dtype=dt)
+         * m_q[..., None].astype(dt))                       # (Q, Sp, C)
+    r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
+                                     pose_free, ptfix_q, delta, cutoff)
+    N = Q * Sp
+    Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
+    Px, Py = Jpf[:, :3], Jpf[:, 3:]
+    rx, ry = r[:, 0], r[:, 1]
+    # Camera-side columns: U blocks (36) + J^T r (6), one MXU contraction.
+    u36 = (Jx[:, :, None] * Jx[:, None, :]
+           + Jy[:, :, None] * Jy[:, None, :]).reshape(N, 36)
+    jtr = Jx * rx[:, None] + Jy * ry[:, None]
+    camcols = jnp.concatenate([u36, jtr], axis=1)           # (N, 42)
+    Ucat = jnp.einsum("nc,nu->cu", E.reshape(N, C), camcols)
+    # Point-side blocks: free reshape-sums (all of a point's slots are in
+    # its own row).
+    v9 = (Px[:, :, None] * Px[:, None, :]
+          + Py[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 9)
+    V = jnp.sum(v9, axis=1).reshape(Q, 3, 3)
+    bp = -jnp.sum((Px * rx[:, None] + Py * ry[:, None]).reshape(Q, Sp, 3),
+                  axis=1)                                    # (Q, 3)
+    Vinv = _vinv3(V, lam, dt)
+    # W blocks B = Jc^T Jp (6, 3) per slot -> dense per-point camera
+    # columns D (Q, 6, 3, C) via the one-hot matmul.
+    W18 = (Jx[:, :, None] * Px[:, None, :]
+           + Jy[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 18)
+    D = jnp.einsum("qsc,qsw->qwc", E, W18).reshape(Q, 6, 3, C)
+    H = jnp.einsum("qkl,qjlc->qjkc", Vinv, D)
+    S_pt = jnp.einsum("qjkc,qikd->cjdi", H, D)               # (C,6,C,6)
+    y = jnp.einsum("qkl,ql->qk", Vinv, bp)
+    rhs_pt = jnp.einsum("qjkc,qk->cj", D, y)
+    return Ucat, S_pt.reshape(6 * C, 6 * C), rhs_pt
+
+
+def _chunk_backsub(poses, intr, pose_free, dc6, lam, chunk_in, delta,
+                   cutoff):
+    """Point updates dp = V^-1 (bp - W^T dc) for one chunk (recomputes the
+    cheap per-slot quantities; no gathers)."""
+    points_q, cam_q, uv_q, m_q, ptfix_q = chunk_in
+    Q, Sp = cam_q.shape
+    C = poses.shape[0]
+    dt = poses.dtype
+    E = (jax.nn.one_hot(cam_q, C, dtype=dt) * m_q[..., None].astype(dt))
+    r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
+                                     pose_free, ptfix_q, delta, cutoff)
+    N = Q * Sp
+    Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
+    Px, Py = Jpf[:, :3], Jpf[:, 3:]
+    rx, ry = r[:, 0], r[:, 1]
+    v9 = (Px[:, :, None] * Px[:, None, :]
+          + Py[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 9)
+    V = jnp.sum(v9, axis=1).reshape(Q, 3, 3)
+    bp = -jnp.sum((Px * rx[:, None] + Py * ry[:, None]).reshape(Q, Sp, 3),
+                  axis=1)
+    Vinv = _vinv3(V, lam, dt)
+    W18 = (Jx[:, :, None] * Px[:, None, :]
+           + Jy[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 6, 3)
+    dcs = jnp.einsum("qsc,cj->qsj", E, dc6)                  # (Q, Sp, 6)
+    z = jnp.einsum("qsjk,qsj->qk", W18, dcs)                 # (Q, 3)
+    dp = jnp.einsum("qkl,ql->qk", Vinv, bp - z)
+    return jnp.where(ptfix_q[:, None], 0.0, dp)
+
+
+def _chunk_cost(poses, points_q, intr, cam_q, uv_q, m_q, delta, cutoff):
+    """Robust (trimmed-Huber) cost of one chunk — mirrors ba_cost."""
+    Q, Sp = cam_q.shape
+    C = poses.shape[0]
+    dt = poses.dtype
+    E = (jax.nn.one_hot(cam_q, C, dtype=dt) * m_q[..., None].astype(dt))
+    pose_ps = jnp.einsum("qsc,cd->qsd", E, poses)
+    N = Q * Sp
+    w = pose_ps[..., :3].reshape(N, 3)
+    tt = pose_ps[..., 3:].reshape(N, 3)
+    Xp = jnp.broadcast_to(points_q[:, None, :], (Q, Sp, 3)).reshape(N, 3)
+    r, _, _ = pinhole_jacobians_gathered(w, tt, Xp, intr, uv_q.reshape(N, 2))
+    n = jnp.linalg.norm(r, axis=-1)
+    quad = 0.5 * n * n
+    lin = delta * (n - 0.5 * delta)
+    c = jnp.where(n <= delta, quad, lin)
+    c = jnp.minimum(c, delta * (cutoff * delta - 0.5 * delta))
+    return jnp.sum(jnp.where(m_q.reshape(N), c, 0.0))
+
+
+def _chunked(arrs, Q):
+    """Reshape leading dim P_pad -> (nc, Q) for lax.scan."""
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1, Q) + a.shape[1:]), arrs)
+
+
+def ptm_cost(ptm: PtMajorBA, poses, points, delta, cutoff, Q: int):
+    chunks = _chunked((points, ptm.cam_idx, ptm.uv, ptm.slot_mask), Q)
+
+    def body(acc, ch):
+        pts_q, cam_q, uv_q, m_q = ch
+        return acc + _chunk_cost(poses, pts_q, ptm.intrinsics, cam_q, uv_q,
+                                 m_q, delta, cutoff), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), poses.dtype), chunks)
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "Q"))
+def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
+    """Robust LM with explicit dense Schur solve. Mirrors
+    :func:`sara_tpu.ba.core.bundle_adjust` semantics (accept/reject, lambda
+    schedule, trimmed Huber) with exact direct steps instead of 15-iteration
+    inexact CG."""
+    C = ptm.poses.shape[0]
+    dt = ptm.poses.dtype
+    delta = opts.huber_delta
+    cutoff = opts.outlier_cutoff
+    eyeC = jnp.eye(C, dtype=dt)
+
+    def lm_step(carry, _):
+        poses, points, lam, cost = carry
+        chunks = _chunked((points, ptm.cam_idx, ptm.uv, ptm.slot_mask,
+                           ptm.point_fixed), Q)
+
+        def body(acc, ch):
+            Ucat, S_pt, rhs_pt = acc
+            u, s, rh = _chunk_stats(poses, ptm.intrinsics, ptm.pose_free,
+                                    lam, ch, delta, cutoff)
+            return (Ucat + u, S_pt + s, rhs_pt + rh), None
+
+        init = (jnp.zeros((C, 42), dt), jnp.zeros((6 * C, 6 * C), dt),
+                jnp.zeros((C, 6), dt))
+        (Ucat, S_pt, rhs_pt), _ = jax.lax.scan(body, init, chunks)
+
+        U = Ucat[:, :36].reshape(C, 6, 6)
+        bc = -Ucat[:, 36:]                                   # (C, 6)
+        d6 = jnp.eye(6, dtype=dt)
+        U_d = U + lam * U * d6 + 1e-8 * d6
+        S = (jnp.einsum("cd,cij->cidj", eyeC, U_d).reshape(6 * C, 6 * C)
+             - S_pt)
+        rhs = (bc - rhs_pt).reshape(6 * C)
+        dc6 = jnp.linalg.solve(S, rhs).reshape(C, 6) * ptm.pose_free
+
+        def body_bs(_, ch):
+            return None, _chunk_backsub(poses, ptm.intrinsics, ptm.pose_free,
+                                        dc6, lam, ch, delta, cutoff)
+
+        _, dp_chunks = jax.lax.scan(body_bs, None, chunks)
+        dp = dp_chunks.reshape(-1, 3)
+
+        cand_poses = poses + dc6
+        cand_points = points + dp
+        new_cost = ptm_cost(ptm, cand_poses, cand_points, delta, cutoff, Q)
+        accept = new_cost < cost
+        poses2 = jnp.where(accept, cand_poses, poses)
+        points2 = jnp.where(accept, cand_points, points)
+        lam2 = jnp.where(accept,
+                         jnp.maximum(lam * opts.lambda_down, opts.lambda_min),
+                         jnp.minimum(lam * opts.lambda_up, opts.lambda_max))
+        cost2 = jnp.where(accept, new_cost, cost)
+        return (poses2, points2, lam2, cost2), cost2
+
+    cost0 = ptm_cost(ptm, ptm.poses, ptm.points, delta, cutoff, Q)
+    (poses_f, points_f, lam_f, cost_f), costs = jax.lax.scan(
+        lm_step, (ptm.poses, ptm.points,
+                  jnp.asarray(opts.lambda_init, dt), cost0),
+        None, length=opts.max_iters)
+    info = {"initial_cost": cost0, "final_cost": cost_f, "costs": costs,
+            "lambda": lam_f}
+    return poses_f, points_f, info

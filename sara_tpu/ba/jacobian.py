@@ -77,6 +77,13 @@ def pinhole_jacobians(poses, points, intr, cam_idx, pt_idx, uv):
     w = poses[cam_idx, :3]
     tt = poses[cam_idx, 3:]
     Xp = points[pt_idx]
+    return pinhole_jacobians_gathered(w, tt, Xp, intr, uv)
+
+
+def pinhole_jacobians_gathered(w, tt, Xp, intr, uv):
+    """Same chain rule from already-gathered per-observation pose/point
+    rows (w (O,3), tt (O,3), Xp (O,3)) — the dense-Schur path supplies
+    these via one-hot matmuls instead of gathers (ba/dense_schur.py)."""
     X0, X1, X2 = Xp[:, 0], Xp[:, 1], Xp[:, 2]
     R, Jr = _exp_and_jr_flat(w[:, 0], w[:, 1], w[:, 2])
 

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sara_tpu.ba.core import BAProblem, BAOptions, bundle_adjust
+from sara_tpu.ba.core import BAProblem, BAOptions, bundle_adjust_cg
 
 
 def _pad_axis(a, mult: int):
@@ -85,7 +85,7 @@ def shard_ba_problem(prob: BAProblem, mesh: Mesh, axis: str = "shard") -> BAProb
 
 @functools.partial(jax.jit, static_argnames=("opts",))
 def _ba_jit(prob: BAProblem, opts: BAOptions):
-    return bundle_adjust(prob, opts)
+    return bundle_adjust_cg(prob, opts)
 
 
 def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh,

@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--sizes", default="small,medium")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cg", type=int, default=15)
+    ap.add_argument("--solvers", default="dense,cg",
+                    help="comma list: dense (explicit Schur direct), cg "
+                    "(matrix-free Schur+PCG) — same-process A/B")
+    ap.add_argument("--json", default="",
+                    help="write per-size results to this JSON file")
     ap.add_argument("--mesh", action="store_true",
                     help="also measure sharded-BA times over 1/2/4/8 "
                     "devices (virtual CPU mesh: a thread-level parallel "
@@ -85,55 +90,74 @@ def main():
 
     from sara_tpu.ba import BAOptions, bundle_adjust
 
+    results = {}
     for name in args.sizes.split(","):
         cfg = SIZES[name]
         prob = make_problem(**cfg)
-        opts = BAOptions(max_iters=args.iters, cg_iters=args.cg)
-        t0 = time.perf_counter()
-        out, info = bundle_adjust(prob, opts)
-        c = float(info["final_cost"])
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out, info = bundle_adjust(prob, opts)
-        c = float(info["final_cost"])
-        run_s = time.perf_counter() - t0
-        ips = args.iters / run_s
-        print(f"{name}: C={cfg['C']} P={cfg['P']} O={cfg['O']}  "
-              f"compile+1st={compile_s:.1f}s  run={run_s*1e3:.0f}ms  "
-              f"{ips:.1f} LM iters/s  cost {float(info['initial_cost']):.1f}"
-              f"->{c:.1f}", flush=True)
-        from sara_tpu.utils.roofline import ba_lm_iteration, report
+        results[name] = dict(cfg)
+        for solver in args.solvers.split(","):
+            opts = BAOptions(max_iters=args.iters, cg_iters=args.cg,
+                             solver=solver)
+            t0 = time.perf_counter()
+            out, info = bundle_adjust(prob, opts)
+            c = float(info["final_cost"])
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out, info = bundle_adjust(prob, opts)
+            c = float(info["final_cost"])
+            run_s = time.perf_counter() - t0
+            ips = args.iters / run_s
+            print(f"{name}[{solver}]: C={cfg['C']} P={cfg['P']} "
+                  f"O={cfg['O']}  compile+1st={compile_s:.1f}s  "
+                  f"run={run_s*1e3:.0f}ms  {ips:.2f} LM iters/s  "
+                  f"cost {float(info['initial_cost']):.1f}->{c:.1f}",
+                  flush=True)
+            from sara_tpu.utils.roofline import ba_lm_iteration, report
 
-        est = ba_lm_iteration(cfg["C"], cfg["P"], cfg["O"], args.cg)
-        tag = ("" if jax.default_backend() == "tpu"
-               else "  [TPU-peak roofline; CPU run — reference only]")
-        print("  " + report(f"{name}/LM-iter", est, run_s / args.iters)
-              + tag, flush=True)
+            est = ba_lm_iteration(cfg["C"], cfg["P"], cfg["O"], args.cg)
+            tag = ("" if jax.default_backend() == "tpu"
+                   else "  [TPU-peak roofline; CPU run — reference only]")
+            print("  " + report(f"{name}/LM-iter", est, run_s / args.iters)
+                  + tag, flush=True)
+            results[name][solver] = {
+                "lm_iters_per_s": ips, "ms_per_lm_iter": run_s * 1e3 / args.iters,
+                "compile_s": compile_s, "final_cost": c,
+                "initial_cost": float(info["initial_cost"]),
+                "roofline_frac": est.roofline_seconds() / (run_s / args.iters),
+            }
+    if args.json:
+        import json
 
-        if args.mesh:
-            from sara_tpu.parallel import (BACommModel,
-                                           distributed_bundle_adjust,
-                                           make_mesh)
+        with open(args.json, "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "lm_iters": args.iters, "cg_iters": args.cg,
+                       "results": results}, f, indent=1)
+        print("wrote", args.json, flush=True)
 
-            base = None
-            for n in (1, 2, 4, 8):
-                if n > jax.device_count():
-                    break
-                print("  " + BACommModel(cfg["C"], cfg["P"], cfg["O"],
-                                         args.cg, n).report(), flush=True)
-                mesh = make_mesh(n)
-                t0 = time.perf_counter()
-                out, info = distributed_bundle_adjust(prob, mesh, opts)
-                float(info["final_cost"])
-                _ = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                out, info = distributed_bundle_adjust(prob, mesh, opts)
-                float(info["final_cost"])
-                dt = time.perf_counter() - t0
-                base = base or dt
-                print(f"  mesh n={n}: {dt*1e3:.0f} ms  "
-                      f"speedup {base/dt:.2f}x  "
-                      f"efficiency {base/dt/n*100:.0f}%", flush=True)
+    if args.mesh:
+        from sara_tpu.parallel import (BACommModel,
+                                       distributed_bundle_adjust,
+                                       make_mesh)
+
+        base = None
+        for n in (1, 2, 4, 8):
+            if n > jax.device_count():
+                break
+            print("  " + BACommModel(cfg["C"], cfg["P"], cfg["O"],
+                                     args.cg, n).report(), flush=True)
+            mesh = make_mesh(n)
+            t0 = time.perf_counter()
+            out, info = distributed_bundle_adjust(prob, mesh, opts)
+            float(info["final_cost"])
+            _ = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out, info = distributed_bundle_adjust(prob, mesh, opts)
+            float(info["final_cost"])
+            dt = time.perf_counter() - t0
+            base = base or dt
+            print(f"  mesh n={n}: {dt*1e3:.0f} ms  "
+                  f"speedup {base/dt:.2f}x  "
+                  f"efficiency {base/dt/n*100:.0f}%", flush=True)
 
 
 if __name__ == "__main__":

@@ -280,3 +280,42 @@ def test_flat_fast_path_matches_autodiff_path():
     assert abs(float(info_fast["final_cost"])
                - float(info_slow["final_cost"])) < 1e-3 * (
         1.0 + float(info_slow["final_cost"]))
+
+
+def test_dense_schur_matches_cg():
+    """The explicit dense-Schur direct solver and the matrix-free Schur+PCG
+    path must converge to the same optimum (the dense path takes exact
+    steps, so iterates differ; final costs/poses must agree)."""
+    prob, poses_gt, X_gt = _make_ba_problem(n_cams=5, n_pts=80, noise=0.4,
+                                            n_bad_obs=6)
+    dense, di = bundle_adjust(prob, BAOptions(max_iters=25, solver="dense"))
+    cg, ci = bundle_adjust(prob, BAOptions(max_iters=40, cg_iters=40,
+                                           solver="cg"))
+    fd, fc = float(di["final_cost"]), float(ci["final_cost"])
+    assert fd <= fc * 1.02, (fd, fc)
+    np.testing.assert_allclose(np.asarray(dense.poses), np.asarray(cg.poses),
+                               atol=2e-3)
+    # Both must beat the initial cost decisively.
+    assert fd < 0.3 * float(di["initial_cost"])
+
+
+def test_dense_schur_respects_freezes():
+    """Component-level pose freezing and fixed points hold exactly in the
+    dense path (gauge semantics identical to the CG path)."""
+    prob, _, _ = _make_ba_problem(n_cams=4, n_pts=50, noise=0.3)
+    C = prob.poses.shape[0]
+    pf = np.zeros((C, 6), bool)
+    pf[0] = True
+    pf[1, 3] = True  # one translation component of camera 1
+    ptfix = np.zeros(prob.points.shape[0], bool)
+    ptfix[:5] = True
+    prob2 = prob._replace(pose_fixed=jnp.asarray(pf),
+                          point_fixed=jnp.asarray(ptfix))
+    out, info = bundle_adjust(prob2, BAOptions(max_iters=15, solver="dense"))
+    np.testing.assert_allclose(np.asarray(out.poses[0]),
+                               np.asarray(prob.poses[0]), atol=1e-12)
+    np.testing.assert_allclose(float(out.poses[1, 3]),
+                               float(prob.poses[1, 3]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.points[:5]),
+                               np.asarray(prob.points[:5]), atol=1e-12)
+    assert float(info["final_cost"]) < float(info["initial_cost"])
