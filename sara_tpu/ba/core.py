@@ -427,12 +427,12 @@ def bundle_adjust(p: BAProblem, opts: BAOptions = BAOptions()):
                 and p.poses.shape[0] <= opts.dense_max_cameras
                 and not isinstance(p.pt_idx, jax.core.Tracer))
     if eligible:
-        from sara_tpu.ba.dense_schur import (dense_schur_bundle_adjust,
+        from sara_tpu.ba.dense_schur import (dense_eligible,
+                                             dense_schur_bundle_adjust,
                                              pack_pt_major)
 
         ptm, stats = pack_pt_major(p, chunk=opts.dense_chunk)
-        if (opts.solver == "dense"
-                or stats["inflation"] <= opts.dense_max_inflation):
+        if dense_eligible(stats, opts):
             poses, points, info = dense_schur_bundle_adjust(
                 ptm, opts, stats["chunk"])
             P = p.points.shape[0]

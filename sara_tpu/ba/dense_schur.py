@@ -143,7 +143,16 @@ def pack_pt_major(p, sp_min: int = 8, chunk: int = 16384):
     )
     O = max(int(mask.sum()), 1)
     return ptm, {"sp": Sp, "chunk": Q, "inflation": P_pad * Sp / O,
-                 "n_obs": O}
+                 "n_obs": O, "slots": P_pad * Sp}
+
+
+def dense_eligible(stats, opts) -> bool:
+    """Accept the dense path when the padded-slot inflation is bounded OR
+    the whole problem is small in absolute terms (a tiny problem padded to
+    one chunk trivially exceeds any relative inflation bound)."""
+    return (opts.solver == "dense"
+            or stats["slots"] <= max(
+                opts.dense_max_inflation * stats["n_obs"], 1_000_000))
 
 
 # -- chunked kernels ---------------------------------------------------------
@@ -316,6 +325,14 @@ def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
     :func:`sara_tpu.ba.core.bundle_adjust` semantics (accept/reject, lambda
     schedule, trimmed Huber) with exact direct steps instead of 15-iteration
     inexact CG."""
+    return _lm_loop(ptm, opts, Q, lambda x: x)
+
+
+def _lm_loop(ptm: PtMajorBA, opts, Q: int, allreduce):
+    """Shared LM loop. ``allreduce`` combines the per-shard camera-system
+    accumulators (identity single-device; lax.psum under shard_map — the
+    ONLY cross-shard communication: (6C)^2 + (C,42) + (C,6) floats +
+    one scalar per iteration)."""
     C = ptm.poses.shape[0]
     dt = ptm.poses.dtype
     delta = opts.huber_delta
@@ -336,6 +353,8 @@ def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
         init = (jnp.zeros((C, 42), dt), jnp.zeros((6 * C, 6 * C), dt),
                 jnp.zeros((C, 6), dt))
         (Ucat, S_pt, rhs_pt), _ = jax.lax.scan(body, init, chunks)
+        Ucat, S_pt, rhs_pt = (allreduce(Ucat), allreduce(S_pt),
+                              allreduce(rhs_pt))
 
         U = Ucat[:, :36].reshape(C, 6, 6)
         bc = -Ucat[:, 36:]                                   # (C, 6)
@@ -355,7 +374,8 @@ def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
 
         cand_poses = poses + dc6
         cand_points = points + dp
-        new_cost = ptm_cost(ptm, cand_poses, cand_points, delta, cutoff, Q)
+        new_cost = allreduce(
+            ptm_cost(ptm, cand_poses, cand_points, delta, cutoff, Q))
         accept = new_cost < cost
         poses2 = jnp.where(accept, cand_poses, poses)
         points2 = jnp.where(accept, cand_points, points)
@@ -365,7 +385,8 @@ def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
         cost2 = jnp.where(accept, new_cost, cost)
         return (poses2, points2, lam2, cost2), cost2
 
-    cost0 = ptm_cost(ptm, ptm.poses, ptm.points, delta, cutoff, Q)
+    cost0 = allreduce(
+        ptm_cost(ptm, ptm.poses, ptm.points, delta, cutoff, Q))
     (poses_f, points_f, lam_f, cost_f), costs = jax.lax.scan(
         lm_step, (ptm.poses, ptm.points,
                   jnp.asarray(opts.lambda_init, dt), cost0),
@@ -373,3 +394,57 @@ def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
     info = {"initial_cost": cost0, "final_cost": cost_f, "costs": costs,
             "lambda": lam_f}
     return poses_f, points_f, info
+
+
+def dense_schur_bundle_adjust_sharded(ptm: PtMajorBA, mesh, opts, Q: int,
+                                      axis: str = "shard"):
+    """Distributed dense-Schur BA: points AND their observations are
+    co-partitioned over the mesh BY CONSTRUCTION (the point-major layout
+    keeps every observation in its point's row), so all per-point work is
+    shard-local. The only communication is the psum of the reduced camera
+    system ((6C)^2 + (C,42) + (C,6) floats) and the cost scalar per LM
+    iteration; the dense solve runs replicated on every shard.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    spec_pt = P(axis)
+    spec_rep = P()
+    in_specs = PtMajorBA(
+        poses=spec_rep, points=spec_pt, intrinsics=spec_rep,
+        cam_idx=spec_pt, uv=spec_pt, slot_mask=spec_pt,
+        pose_free=spec_rep, point_fixed=spec_pt)
+
+    # Re-pad the point axis so every shard holds a whole number of chunks.
+    P_old = ptm.points.shape[0]
+    mult = n * Q
+    P_new = ((P_old + mult - 1) // mult) * mult
+    if P_new != P_old:
+        pad = P_new - P_old
+
+        def padp(a, fill=0):
+            f = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([a, f], axis=0)
+
+        ptm = ptm._replace(
+            points=padp(ptm.points), cam_idx=padp(ptm.cam_idx),
+            uv=padp(ptm.uv), slot_mask=padp(ptm.slot_mask),
+            point_fixed=padp(ptm.point_fixed, True))
+
+    ptm = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), ptm,
+        in_specs)
+
+    @functools.partial(jax.jit, static_argnames=())
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+        out_specs=(spec_rep, spec_pt,
+                   {"initial_cost": spec_rep, "final_cost": spec_rep,
+                    "costs": spec_rep, "lambda": spec_rep}),
+        check_vma=False)
+    def run(ptm_local):
+        return _lm_loop(ptm_local, opts, Q,
+                        lambda x: jax.lax.psum(x, axis))
+
+    poses, points, info = run(ptm)
+    return poses, points[:P_old], info

@@ -1,22 +1,23 @@
 """Distributed bundle adjustment over a device mesh.
 
 The genuinely new subsystem relative to the reference (which runs Ceres
-single-process, SURVEY.md §5): the Schur-complement LM solver of
-``sara_tpu.ba.core`` is already matrix-free over gather/segment-sum
-products, so distribution is expressed with ``jax.sharding``:
+single-process, SURVEY.md §5). Two paths:
 
-- observations (cam_idx / pt_idx / uv / obs_mask) are sharded over the mesh
-  "shard" axis,
-- points are sharded over the same axis (their 3x3 V blocks stay local to
-  the shard that owns the point's observations in a locality-aware
-  partition),
-- camera parameters / 6x6 U blocks are replicated; partial per-shard
-  camera-block contributions are combined by the all-reduces XLA inserts
-  for the segment-sums (psum over ICI).
+1. **Dense-Schur shard_map path** (default when eligible, ba/dense_schur.py):
+   the point-major padded layout co-partitions points WITH their
+   observations by construction (every observation lives in its point's
+   row), so all per-point work is shard-local and the only communication
+   is the psum of the reduced camera system ((6C)^2 + (C, 42) + (C, 6)
+   floats) plus one cost scalar per LM iteration. This is the genuinely
+   locality-aware partition.
 
-``distributed_bundle_adjust`` jits the *same* bundle_adjust program with
-sharded inputs — GSPMD propagates the shardings and inserts collectives;
-there is no separate "distributed" numeric code path to keep in sync.
+2. **GSPMD CG fallback** (huge C / distortion / optimizable intrinsics):
+   the matrix-free bundle_adjust_cg program jitted with sharded inputs —
+   observations and points contiguously sharded, cameras replicated.
+   GSPMD inserts the collectives for the segment-sums; note the
+   ``y[pt_idx]`` gathers here are NOT locality-aware (a random pt_idx
+   makes them cross-shard all-gathers) — correctness is mesh-tested, comm
+   volume is what GSPMD derives.
 """
 
 from __future__ import annotations
@@ -91,7 +92,25 @@ def _ba_jit(prob: BAProblem, opts: BAOptions):
 def distributed_bundle_adjust(prob: BAProblem, mesh: Mesh,
                               opts: BAOptions = BAOptions(),
                               axis: str = "shard"):
-    """Run bundle adjustment with inputs sharded over the mesh."""
+    """Run bundle adjustment with inputs sharded over the mesh (dense-Schur
+    shard_map when eligible, GSPMD CG otherwise — module docstring)."""
+    eligible = (opts.solver in ("auto", "dense")
+                and prob.intr_free is None and prob.intrinsics.shape[0] == 4
+                and prob.poses.shape[0] <= opts.dense_max_cameras
+                and not isinstance(prob.pt_idx, jax.core.Tracer))
+    if eligible:
+        from sara_tpu.ba.dense_schur import (
+            dense_eligible, dense_schur_bundle_adjust_sharded, pack_pt_major)
+
+        n = int(mesh.devices.size)
+        Pn0 = int(prob.points.shape[0])
+        chunk = min(opts.dense_chunk, max(64, -(-Pn0 // n)))
+        ptm, stats = pack_pt_major(prob, chunk=chunk)
+        if dense_eligible(stats, opts):
+            poses, points, info = dense_schur_bundle_adjust_sharded(
+                ptm, mesh, opts, stats["chunk"], axis)
+            Pn = prob.points.shape[0]
+            return prob._replace(poses=poses, points=points[:Pn]), info
     sp = shard_ba_problem(prob, mesh, axis)
     with mesh:
         out, info = _ba_jit(sp, opts)

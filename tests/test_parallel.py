@@ -133,7 +133,9 @@ def test_multihost_2d_mesh_unpadded():
     from sara_tpu.parallel import make_host_chip_mesh, multihost_bundle_adjust
 
     prob = _toy_problem(C=3, P=37, O=101)
-    opts = BAOptions(max_iters=5, cg_iters=10)
+    # The 2-D (host, chip) path runs the GSPMD CG program; compare against
+    # the same single-device program.
+    opts = BAOptions(max_iters=5, cg_iters=10, solver="cg")
     ref, _ = bundle_adjust(prob, opts)
     mesh = make_host_chip_mesh(hosts=2, n_devices=8)
     out, _ = multihost_bundle_adjust(prob, mesh, opts)
