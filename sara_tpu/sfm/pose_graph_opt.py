@@ -34,7 +34,12 @@ class PoseGraphProblem(NamedTuple):
     edge_i: jnp.ndarray        # (E,) int32
     edge_j: jnp.ndarray        # (E,) int32
     rel_pose: jnp.ndarray      # (E, 6) measured log(T_j T_i^-1)-style packing
-    weight: jnp.ndarray        # (E,) scalar information weight
+    weight: jnp.ndarray        # (E,) scalar information weight, or (E, 6)
+                               # per-residual-component weights (rotation
+                               # rows 0:3, translation rows 3:6) — e.g. a
+                               # monocular loop edge whose translation
+                               # SCALE is a guess gets strong rotation /
+                               # weak translation information
     edge_mask: jnp.ndarray     # (E,)
     pose_fixed: jnp.ndarray    # (N,) bool
 
@@ -55,16 +60,39 @@ def edge_residual(pose_i, pose_j, meas6):
     return lie.se3_log(Re, te)
 
 
-def pose_graph_cost(p: PoseGraphProblem):
+def _edge_weights6(p: PoseGraphProblem):
+    """(E, 6) per-component weights from a scalar or vector weight field."""
+    w = p.weight
+    if w.ndim == 1:
+        w = jnp.broadcast_to(w[:, None], (w.shape[0], 6))
+    return w
+
+
+def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0):
+    """Total (optionally Huber-robust) edge cost. ``huber_delta`` > 0
+    applies the Huber loss to each edge's weighted residual norm, so a
+    single bad (e.g. false-loop) edge contributes linearly, not
+    quadratically."""
+    w6 = _edge_weights6(p)
+
     def one(i, j, m, w, valid):
         r = edge_residual(p.poses[i], p.poses[j], m)
-        return jnp.where(valid, w * jnp.sum(r * r), 0.0)
+        q = jnp.sum(w * r * r)
+        if huber_delta > 0:
+            n = jnp.sqrt(jnp.maximum(q, 1e-24))
+            q = jnp.where(n <= huber_delta, 0.5 * q,
+                          huber_delta * (n - 0.5 * huber_delta))
+        else:
+            q = 0.5 * q
+        return jnp.where(valid, q, 0.0)
 
     return jnp.sum(jax.vmap(one)(p.edge_i, p.edge_j, p.rel_pose,
-                                 p.weight, p.edge_mask))
+                                 w6, p.edge_mask))
 
 
-def _edge_jacobians(p: PoseGraphProblem):
+def _edge_jacobians(p: PoseGraphProblem, huber_delta: float = 0.0):
+    w6 = _edge_weights6(p)
+
     def one(i, j, m, w, valid):
         pi = p.poses[i]
         pj = p.poses[j]
@@ -72,9 +100,13 @@ def _edge_jacobians(p: PoseGraphProblem):
         Ji = jax.jacfwd(edge_residual, argnums=0)(pi, pj, m)
         Jj = jax.jacfwd(edge_residual, argnums=1)(pi, pj, m)
         sw = jnp.sqrt(w) * valid.astype(r.dtype)
-        return r * sw, Ji * sw, Jj * sw
+        if huber_delta > 0:
+            # IRLS scaling of the whole edge by the robust weight.
+            n = jnp.sqrt(jnp.maximum(jnp.sum(w * r * r), 1e-24))
+            sw = sw * jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+        return r * sw, Ji * sw[:, None], Jj * sw[:, None]
 
-    return jax.vmap(one)(p.edge_i, p.edge_j, p.rel_pose, p.weight, p.edge_mask)
+    return jax.vmap(one)(p.edge_i, p.edge_j, p.rel_pose, w6, p.edge_mask)
 
 
 def _assemble_dense(p: PoseGraphProblem, r, Ji, Jj):
@@ -156,23 +188,26 @@ def _matfree_solve(p: PoseGraphProblem, r, Ji, Jj, lam, cg_iters: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "method",
-                                             "cg_iters"))
+                                             "cg_iters", "huber_delta"))
 def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
                         lambda_init: float = 1e-4, method: str = "auto",
-                        cg_iters: int = 50):
+                        cg_iters: int = 50, huber_delta: float = 0.0):
     """LM on the pose graph. Returns (problem with updated poses, info).
 
     method: "dense" assembles the (6N)^2 normal equations (exact solve,
     fine to a few hundred keyframes); "cg" runs matrix-free preconditioned
     CG over the edge products (O(E) per iteration, scales to thousands of
-    keyframes); "auto" picks dense for N <= 192."""
+    keyframes); "auto" picks dense for N <= 192.
+
+    huber_delta > 0 makes every edge Huber-robust (IRLS) — an inconsistent
+    loop edge degrades gracefully instead of dragging the trajectory."""
     N = p.poses.shape[0]
     if method == "auto":
         method = "dense" if N <= 192 else "cg"
 
     def step(carry, _):
         prob, lam, cost = carry
-        r, Ji, Jj = _edge_jacobians(prob)
+        r, Ji, Jj = _edge_jacobians(prob, huber_delta)
         if method == "dense":
             H, g = _assemble_dense(prob, r, Ji, Jj)
             diag = jnp.diag(jnp.diag(H))
@@ -183,14 +218,14 @@ def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
             dx = _matfree_solve(prob, r, Ji, Jj, lam, cg_iters)
         dx = jnp.where(prob.pose_fixed[:, None], 0.0, dx)
         cand = prob._replace(poses=prob.poses + dx)
-        new_cost = pose_graph_cost(cand)
+        new_cost = pose_graph_cost(cand, huber_delta)
         accept = new_cost < cost
         prob2 = prob._replace(poses=jnp.where(accept, cand.poses, prob.poses))
         lam2 = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                          jnp.minimum(lam * 4.0, 1e6))
         return (prob2, lam2, jnp.where(accept, new_cost, cost)), new_cost
 
-    cost0 = pose_graph_cost(p)
+    cost0 = pose_graph_cost(p, huber_delta)
     (pf, _, cost_f), _ = jax.lax.scan(
         step, (p, jnp.asarray(lambda_init, p.poses.dtype), cost0),
         None, length=max_iters)
