@@ -39,8 +39,11 @@ class LoopClosureConfig:
     # linearly below; more inliers = more information).
     full_weight_inliers: int = 200
     # Huber threshold on the weighted se(3) edge residual norm — a false
-    # or inconsistent loop edge saturates instead of dragging the graph.
+    # or inconsistent loop edge saturates instead of dragging the graph —
+    # and the trim point (in units of huber_delta) beyond which an edge is
+    # dropped from the solution entirely.
     huber_delta: float = 0.5
+    edge_outlier_cutoff: float = 6.0
     # VLAD retrieval codebook size (0 falls back to mean-descriptor).
     vlad_k: int = 16
 
@@ -221,6 +224,7 @@ class LoopCloser:
             edge_mask=jnp.ones(len(edges_i), bool),
             pose_fixed=jnp.asarray([True] + [False] * (n - 1)),
         )
-        out, info = optimize_pose_graph(prob, max_iters=25,
-                                        huber_delta=self.cfg.huber_delta)
+        out, info = optimize_pose_graph(
+            prob, max_iters=25, huber_delta=self.cfg.huber_delta,
+            outlier_cutoff=self.cfg.edge_outlier_cutoff)
         pg.update_from_se3(np.asarray(out.poses))

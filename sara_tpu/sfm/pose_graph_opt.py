@@ -68,11 +68,13 @@ def _edge_weights6(p: PoseGraphProblem):
     return w
 
 
-def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0):
-    """Total (optionally Huber-robust) edge cost. ``huber_delta`` > 0
-    applies the Huber loss to each edge's weighted residual norm, so a
-    single bad (e.g. false-loop) edge contributes linearly, not
-    quadratically."""
+def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0,
+                    outlier_cutoff: float = jnp.inf):
+    """Total (optionally robust) edge cost. ``huber_delta`` > 0 applies the
+    TRIMMED Huber loss to each edge's weighted residual norm: linear growth
+    past delta, plateau past ``outlier_cutoff * delta`` — a grossly wrong
+    (false-loop) edge stops influencing the solution entirely, while a
+    true loop edge carrying honest drift still pulls."""
     w6 = _edge_weights6(p)
 
     def one(i, j, m, w, valid):
@@ -82,6 +84,8 @@ def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0):
             n = jnp.sqrt(jnp.maximum(q, 1e-24))
             q = jnp.where(n <= huber_delta, 0.5 * q,
                           huber_delta * (n - 0.5 * huber_delta))
+            q = jnp.minimum(q, huber_delta * (outlier_cutoff * huber_delta
+                                              - 0.5 * huber_delta))
         else:
             q = 0.5 * q
         return jnp.where(valid, q, 0.0)
@@ -90,7 +94,8 @@ def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0):
                                  w6, p.edge_mask))
 
 
-def _edge_jacobians(p: PoseGraphProblem, huber_delta: float = 0.0):
+def _edge_jacobians(p: PoseGraphProblem, huber_delta: float = 0.0,
+                    outlier_cutoff: float = jnp.inf):
     w6 = _edge_weights6(p)
 
     def one(i, j, m, w, valid):
@@ -101,9 +106,11 @@ def _edge_jacobians(p: PoseGraphProblem, huber_delta: float = 0.0):
         Jj = jax.jacfwd(edge_residual, argnums=1)(pi, pj, m)
         sw = jnp.sqrt(w) * valid.astype(r.dtype)
         if huber_delta > 0:
-            # IRLS scaling of the whole edge by the robust weight.
+            # IRLS scaling of the whole edge by the (trimmed) robust weight.
             n = jnp.sqrt(jnp.maximum(jnp.sum(w * r * r), 1e-24))
-            sw = sw * jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+            rw = jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
+            rw = jnp.where(n > outlier_cutoff * huber_delta, 0.0, rw)
+            sw = sw * rw
         return r * sw, Ji * sw[:, None], Jj * sw[:, None]
 
     return jax.vmap(one)(p.edge_i, p.edge_j, p.rel_pose, w6, p.edge_mask)
@@ -188,10 +195,12 @@ def _matfree_solve(p: PoseGraphProblem, r, Ji, Jj, lam, cg_iters: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "method",
-                                             "cg_iters", "huber_delta"))
+                                             "cg_iters", "huber_delta",
+                                             "outlier_cutoff"))
 def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
                         lambda_init: float = 1e-4, method: str = "auto",
-                        cg_iters: int = 50, huber_delta: float = 0.0):
+                        cg_iters: int = 50, huber_delta: float = 0.0,
+                        outlier_cutoff: float = float("inf")):
     """LM on the pose graph. Returns (problem with updated poses, info).
 
     method: "dense" assembles the (6N)^2 normal equations (exact solve,
@@ -207,7 +216,7 @@ def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
 
     def step(carry, _):
         prob, lam, cost = carry
-        r, Ji, Jj = _edge_jacobians(prob, huber_delta)
+        r, Ji, Jj = _edge_jacobians(prob, huber_delta, outlier_cutoff)
         if method == "dense":
             H, g = _assemble_dense(prob, r, Ji, Jj)
             diag = jnp.diag(jnp.diag(H))
@@ -218,14 +227,14 @@ def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
             dx = _matfree_solve(prob, r, Ji, Jj, lam, cg_iters)
         dx = jnp.where(prob.pose_fixed[:, None], 0.0, dx)
         cand = prob._replace(poses=prob.poses + dx)
-        new_cost = pose_graph_cost(cand, huber_delta)
+        new_cost = pose_graph_cost(cand, huber_delta, outlier_cutoff)
         accept = new_cost < cost
         prob2 = prob._replace(poses=jnp.where(accept, cand.poses, prob.poses))
         lam2 = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                          jnp.minimum(lam * 4.0, 1e6))
         return (prob2, lam2, jnp.where(accept, new_cost, cost)), new_cost
 
-    cost0 = pose_graph_cost(p, huber_delta)
+    cost0 = pose_graph_cost(p, huber_delta, outlier_cutoff)
     (pf, _, cost_f), _ = jax.lax.scan(
         step, (p, jnp.asarray(lambda_init, p.poses.dtype), cost0),
         None, length=max_iters)

@@ -224,7 +224,8 @@ def test_huber_edges_resist_outlier_edge():
         edge_mask=jnp.ones(len(ei), bool),
         pose_fixed=jnp.asarray([True] + [False] * (N - 1)))
 
-    robust, _ = optimize_pose_graph(prob, max_iters=30, huber_delta=0.5)
+    robust, _ = optimize_pose_graph(prob, max_iters=30, huber_delta=0.5,
+                                    outlier_cutoff=6.0)
     quad, _ = optimize_pose_graph(prob, max_iters=30)
     err_rob = np.abs(np.asarray(robust.poses)[:, 3] - poses[:, 3]).max()
     err_quad = np.abs(np.asarray(quad.poses)[:, 3] - poses[:, 3]).max()
