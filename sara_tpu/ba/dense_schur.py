@@ -158,15 +158,19 @@ def dense_eligible(stats, opts) -> bool:
 # -- chunked kernels ---------------------------------------------------------
 
 
-def _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q, pose_free,
+def _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
                        point_fixed_q, delta, cutoff):
     """Residuals + Huber-weighted Jacobians for one point chunk, all in
     (Q*Sp,) flat component layout. No gathers: per-slot pose rows come from
-    the one-hot matmul E @ poses."""
+    the one-hot matmul E @ poses.
+
+    Pose-component freezing is NOT applied here: zeroing Jc columns
+    per-slot would need a second E matmul per pass; instead callers mask
+    the aggregated camera-side blocks (U, bc, D) by the (C, 6) free mask —
+    algebraically identical and one pass cheaper."""
     Q, Sp, C = E.shape
     dt = poses.dtype
     pose_ps = jnp.einsum("qsc,cd->qsd", E, poses)           # (Q, Sp, 6)
-    free_ps = jnp.einsum("qsc,cd->qsd", E, pose_free)       # (Q, Sp, 6)
     N = Q * Sp
     w = pose_ps[..., :3].reshape(N, 3)
     tt = pose_ps[..., 3:].reshape(N, 3)
@@ -181,9 +185,6 @@ def _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q, pose_free,
     r = r * hw[:, None]
     Jcf = Jcf * hw[:, None]
     Jpf = Jpf * hw[:, None]
-    # Freeze masks: zero columns of fixed pose components / points.
-    Jcf = (Jcf.reshape(N, 2, 6) * free_ps.reshape(N, 6)[:, None, :]
-           ).reshape(N, 12)
     ptfree = (~point_fixed_q).astype(dt)
     Jpf = Jpf * jnp.repeat(ptfree, Sp)[:, None]
     return r, Jcf, Jpf
@@ -221,7 +222,7 @@ def _chunk_stats(poses, intr, pose_free, lam, chunk_in, delta, cutoff):
     E = (jax.nn.one_hot(cam_q, C, dtype=dt)
          * m_q[..., None].astype(dt))                       # (Q, Sp, C)
     r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
-                                     pose_free, ptfix_q, delta, cutoff)
+                                     ptfix_q, delta, cutoff)
     N = Q * Sp
     Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
     Px, Py = Jpf[:, :3], Jpf[:, 3:]
@@ -232,6 +233,10 @@ def _chunk_stats(poses, intr, pose_free, lam, chunk_in, delta, cutoff):
     jtr = Jx * rx[:, None] + Jy * ry[:, None]
     camcols = jnp.concatenate([u36, jtr], axis=1)           # (N, 42)
     Ucat = jnp.einsum("nc,nu->cu", E.reshape(N, C), camcols)
+    # Pose-component freezing, applied at block level (see
+    # _slot_residual_jac): U -> M U M, bc -> M bc, i.e. mask the 42 cols.
+    ff = (pose_free[:, :, None] * pose_free[:, None, :]).reshape(C, 36)
+    Ucat = Ucat * jnp.concatenate([ff, pose_free], axis=1)
     # Point-side blocks: free reshape-sums (all of a point's slots are in
     # its own row).
     v9 = (Px[:, :, None] * Px[:, None, :]
@@ -245,8 +250,20 @@ def _chunk_stats(poses, intr, pose_free, lam, chunk_in, delta, cutoff):
     W18 = (Jx[:, :, None] * Px[:, None, :]
            + Jy[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 18)
     D = jnp.einsum("qsc,qsw->qwc", E, W18).reshape(Q, 6, 3, C)
+    # Freeze mask on the camera-row dimension: W -> M W.
+    D = D * pose_free.T[None, :, None, :]
     H = jnp.einsum("qkl,qjlc->qjkc", Vinv, D)
-    S_pt = jnp.einsum("qjkc,qikd->cjdi", H, D)               # (C,6,C,6)
+    # The S contraction is ~90% of the pass-A FLOPs (2*3Q*(6C)^2). S only
+    # steers the LM STEP (accept/reject uses the exact f32 cost), so for
+    # f32 problems it runs in bf16 with f32 accumulation — one MXU-native
+    # pass instead of the 3-6 bf16 passes an f32 matmul costs on TPU
+    # (measured: the full-f32 version spent 330 of 423 ms here).
+    if D.dtype == jnp.float32:
+        S_pt = jnp.einsum("qjkc,qikd->cjdi", H.astype(jnp.bfloat16),
+                          D.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    else:
+        S_pt = jnp.einsum("qjkc,qikd->cjdi", H, D)           # (C,6,C,6)
     y = jnp.einsum("qkl,ql->qk", Vinv, bp)
     rhs_pt = jnp.einsum("qjkc,qk->cj", D, y)
     return Ucat, S_pt.reshape(6 * C, 6 * C), rhs_pt
@@ -262,7 +279,7 @@ def _chunk_backsub(poses, intr, pose_free, dc6, lam, chunk_in, delta,
     dt = poses.dtype
     E = (jax.nn.one_hot(cam_q, C, dtype=dt) * m_q[..., None].astype(dt))
     r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
-                                     pose_free, ptfix_q, delta, cutoff)
+                                     ptfix_q, delta, cutoff)
     N = Q * Sp
     Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
     Px, Py = Jpf[:, :3], Jpf[:, 3:]
