@@ -427,16 +427,23 @@ def bundle_adjust(p: BAProblem, opts: BAOptions = BAOptions()):
                 and p.poses.shape[0] <= opts.dense_max_cameras
                 and not isinstance(p.pt_idx, jax.core.Tracer))
     if eligible:
-        from sara_tpu.ba.dense_schur import (dense_eligible,
-                                             dense_schur_bundle_adjust,
-                                             pack_pt_major)
+        import numpy as np
 
-        ptm, stats = pack_pt_major(p, chunk=opts.dense_chunk)
+        from sara_tpu.ba.dense_schur import (dense_eligible,
+                                             dense_schur_bundle_adjust_strata,
+                                             pack_pt_major_strata)
+
+        strata, id_lists, stats = pack_pt_major_strata(
+            p, chunk=opts.dense_chunk)
         if dense_eligible(stats, opts):
-            poses, points, info = dense_schur_bundle_adjust(
-                ptm, opts, stats["chunk"])
+            Qs = tuple(stats["chunks"])
+            poses, points_t, info = dense_schur_bundle_adjust_strata(
+                tuple(strata), opts, Qs)
             P = p.points.shape[0]
-            return p._replace(poses=poses, points=points[:P]), info
+            pts = np.array(np.asarray(p.points), copy=True)
+            for ids, pnew in zip(id_lists, points_t):
+                pts[ids] = np.asarray(pnew)[:len(ids)]
+            return p._replace(poses=poses, points=jnp.asarray(pts)), info
     return bundle_adjust_cg(p, opts)
 
 

@@ -146,6 +146,63 @@ def pack_pt_major(p, sp_min: int = 8, chunk: int = 16384):
                  "n_obs": O, "slots": P_pad * Sp}
 
 
+def pack_pt_major_strata(p, sp_min: int = 4, chunk: int = 16384,
+                         min_stratum: int = 4096):
+    """Stratified point-major packing: group points by the power-of-two
+    bucket of their observation count, merging levels with fewer than
+    ``min_stratum`` points upward. Padding inflation then tracks
+    sum_p bucket(count_p)/O (~1.3x) instead of being set by the max track
+    length (a Poisson tail costs ~4x with a single stratum).
+
+    Returns (strata list of PtMajorBA, pt_ids list, stats dict)."""
+    pt = np.asarray(p.pt_idx)
+    mask = np.asarray(p.obs_mask)
+    P = int(p.points.shape[0])
+    counts = np.bincount(pt[mask], minlength=P)
+    O = max(int(mask.sum()), 1)
+    level = np.maximum(
+        sp_min, 1 << np.ceil(np.log2(np.maximum(counts, 1))).astype(np.int64))
+    levels = np.sort(np.unique(level))
+    # Merge sparse levels upward (each stratum costs a chunk-scan program).
+    groups = []
+    pending = np.zeros(0, np.int64)
+    for i, lv in enumerate(levels):
+        ids = np.concatenate([pending, np.nonzero(level == lv)[0]])
+        if len(ids) < min_stratum and i + 1 < len(levels):
+            pending = ids
+            continue
+        pending = np.zeros(0, np.int64)
+        groups.append((np.sort(ids), int(lv)))
+    if len(groups) == 1:
+        ptm, stats = pack_pt_major(p, sp_min=sp_min, chunk=chunk)
+        return [ptm], [np.arange(P)], {**stats, "sps": [stats["sp"]],
+                                       "chunks": [stats["chunk"]]}
+
+    strata, id_lists, sps, chunks, slots = [], [], [], [], 0
+    for ids, sp in groups:
+        sub = p._replace(
+            points=jnp.asarray(np.asarray(p.points)[ids]),
+            point_fixed=jnp.asarray(np.asarray(p.point_fixed)[ids]),
+        )
+        # Remap observation point ids into the stratum's local space;
+        # foreign observations are masked out.
+        local = np.full(P, 0, np.int64)
+        member = np.zeros(P, bool)
+        local[ids] = np.arange(len(ids))
+        member[ids] = True
+        sub = sub._replace(
+            pt_idx=jnp.asarray(local[pt].astype(np.int32)),
+            obs_mask=jnp.asarray(mask & member[pt]))
+        ptm, stats = pack_pt_major(sub, sp_min=sp_min, chunk=chunk)
+        strata.append(ptm)
+        id_lists.append(ids)
+        sps.append(stats["sp"])
+        chunks.append(stats["chunk"])
+        slots += stats["slots"]
+    return strata, id_lists, {"sps": sps, "chunks": chunks, "slots": slots,
+                              "n_obs": O, "inflation": slots / O}
+
+
 def dense_eligible(stats, opts) -> bool:
     """Accept the dense path when the padded-slot inflation is bounded OR
     the whole problem is small in absolute terms (a tiny problem padded to
@@ -342,36 +399,59 @@ def dense_schur_bundle_adjust(ptm: PtMajorBA, opts, Q: int):
     :func:`sara_tpu.ba.core.bundle_adjust` semantics (accept/reject, lambda
     schedule, trimmed Huber) with exact direct steps instead of 15-iteration
     inexact CG."""
-    return _lm_loop(ptm, opts, Q, lambda x: x)
+    poses, points, info = _lm_loop((ptm,), opts, (Q,), lambda x: x)
+    return poses, points[0], info
 
 
-def _lm_loop(ptm: PtMajorBA, opts, Q: int, allreduce):
-    """Shared LM loop. ``allreduce`` combines the per-shard camera-system
-    accumulators (identity single-device; lax.psum under shard_map — the
-    ONLY cross-shard communication: (6C)^2 + (C,42) + (C,6) floats +
-    one scalar per iteration)."""
-    C = ptm.poses.shape[0]
-    dt = ptm.poses.dtype
+@functools.partial(jax.jit, static_argnames=("opts", "Qs"))
+def dense_schur_bundle_adjust_strata(strata, opts, Qs):
+    """Stratified dense-Schur LM: points split by observation count into a
+    few (Sp, chunk) strata so padding inflation stays ~1 even with a long
+    track-length tail. Returns (poses, per-stratum points tuple, info)."""
+    return _lm_loop(tuple(strata), opts, tuple(Qs), lambda x: x)
+
+
+def _lm_loop(strata, opts, Qs, allreduce):
+    """Shared LM loop over one or more point STRATA (each a PtMajorBA with
+    its own Sp/chunk; poses/intrinsics/pose_free are shared). ``allreduce``
+    combines the per-shard camera-system accumulators (identity
+    single-device; lax.psum under shard_map — the ONLY cross-shard
+    communication: (6C)^2 + (C,42) + (C,6) floats + one scalar per
+    iteration)."""
+    p0 = strata[0]
+    C = p0.poses.shape[0]
+    dt = p0.poses.dtype
     delta = opts.huber_delta
     cutoff = opts.outlier_cutoff
     eyeC = jnp.eye(C, dtype=dt)
 
-    def lm_step(carry, _):
-        poses, points, lam, cost = carry
-        chunks = _chunked((points, ptm.cam_idx, ptm.uv, ptm.slot_mask,
-                           ptm.point_fixed), Q)
+    def total_cost(poses, points_t):
+        c = jnp.zeros((), dt)
+        for ptm, pts, Q in zip(strata, points_t, Qs):
+            c = c + ptm_cost(ptm, poses, pts, delta, cutoff, Q)
+        return allreduce(c)
 
-        def body(acc, ch):
-            Ucat, S_pt, rhs_pt = acc
-            u, s, rh = _chunk_stats(poses, ptm.intrinsics, ptm.pose_free,
-                                    lam, ch, delta, cutoff)
-            return (Ucat + u, S_pt + s, rhs_pt + rh), None
+    def lm_step(carry, _):
+        poses, points_t, lam, cost = carry
 
         init = (jnp.zeros((C, 42), dt), jnp.zeros((6 * C, 6 * C), dt),
                 jnp.zeros((C, 6), dt))
-        (Ucat, S_pt, rhs_pt), _ = jax.lax.scan(body, init, chunks)
-        Ucat, S_pt, rhs_pt = (allreduce(Ucat), allreduce(S_pt),
-                              allreduce(rhs_pt))
+        acc = init
+        chunk_sets = []
+        for ptm, pts, Q in zip(strata, points_t, Qs):
+            chunks = _chunked((pts, ptm.cam_idx, ptm.uv, ptm.slot_mask,
+                               ptm.point_fixed), Q)
+            chunk_sets.append(chunks)
+
+            def body(a, ch, _ptm=ptm):
+                u, s, rh = _chunk_stats(poses, _ptm.intrinsics,
+                                        _ptm.pose_free, lam, ch, delta,
+                                        cutoff)
+                return (a[0] + u, a[1] + s, a[2] + rh), None
+
+            acc, _ = jax.lax.scan(body, acc, chunks)
+        Ucat, S_pt, rhs_pt = (allreduce(acc[0]), allreduce(acc[1]),
+                              allreduce(acc[2]))
 
         U = Ucat[:, :36].reshape(C, 6, 6)
         bc = -Ucat[:, 36:]                                   # (C, 6)
@@ -380,33 +460,37 @@ def _lm_loop(ptm: PtMajorBA, opts, Q: int, allreduce):
         S = (jnp.einsum("cd,cij->cidj", eyeC, U_d).reshape(6 * C, 6 * C)
              - S_pt)
         rhs = (bc - rhs_pt).reshape(6 * C)
-        dc6 = jnp.linalg.solve(S, rhs).reshape(C, 6) * ptm.pose_free
+        dc6 = jnp.linalg.solve(S, rhs).reshape(C, 6) * p0.pose_free
 
-        def body_bs(_, ch):
-            return None, _chunk_backsub(poses, ptm.intrinsics, ptm.pose_free,
-                                        dc6, lam, ch, delta, cutoff)
+        cand_points = []
+        for ptm, chunks, Q in zip(strata, chunk_sets, Qs):
+            def body_bs(_, ch, _ptm=ptm):
+                return None, _chunk_backsub(poses, _ptm.intrinsics,
+                                            _ptm.pose_free, dc6, lam, ch,
+                                            delta, cutoff)
 
-        _, dp_chunks = jax.lax.scan(body_bs, None, chunks)
-        dp = dp_chunks.reshape(-1, 3)
+            _, dp_chunks = jax.lax.scan(body_bs, None, chunks)
+            cand_points.append(chunks[0].reshape(-1, 3)
+                               + dp_chunks.reshape(-1, 3))
+        cand_points = tuple(cand_points)
 
         cand_poses = poses + dc6
-        cand_points = points + dp
-        new_cost = allreduce(
-            ptm_cost(ptm, cand_poses, cand_points, delta, cutoff, Q))
+        new_cost = total_cost(cand_poses, cand_points)
         accept = new_cost < cost
         poses2 = jnp.where(accept, cand_poses, poses)
-        points2 = jnp.where(accept, cand_points, points)
+        points2 = tuple(jnp.where(accept, cp, pp)
+                        for cp, pp in zip(cand_points, points_t))
         lam2 = jnp.where(accept,
                          jnp.maximum(lam * opts.lambda_down, opts.lambda_min),
                          jnp.minimum(lam * opts.lambda_up, opts.lambda_max))
         cost2 = jnp.where(accept, new_cost, cost)
         return (poses2, points2, lam2, cost2), cost2
 
-    cost0 = allreduce(
-        ptm_cost(ptm, ptm.poses, ptm.points, delta, cutoff, Q))
+    points0 = tuple(ptm.points for ptm in strata)
+    cost0 = total_cost(p0.poses, points0)
     (poses_f, points_f, lam_f, cost_f), costs = jax.lax.scan(
-        lm_step, (ptm.poses, ptm.points,
-                  jnp.asarray(opts.lambda_init, dt), cost0),
+        lm_step, (p0.poses, points0, jnp.asarray(opts.lambda_init, dt),
+                  cost0),
         None, length=opts.max_iters)
     info = {"initial_cost": cost0, "final_cost": cost_f, "costs": costs,
             "lambda": lam_f}
@@ -460,8 +544,9 @@ def dense_schur_bundle_adjust_sharded(ptm: PtMajorBA, mesh, opts, Q: int,
                     "costs": spec_rep, "lambda": spec_rep}),
         check_vma=False)
     def run(ptm_local):
-        return _lm_loop(ptm_local, opts, Q,
-                        lambda x: jax.lax.psum(x, axis))
+        poses, points_t, info = _lm_loop((ptm_local,), opts, (Q,),
+                                         lambda x: jax.lax.psum(x, axis))
+        return poses, points_t[0], info
 
     poses, points, info = run(ptm)
     return poses, points[:P_old], info

@@ -217,7 +217,8 @@ def _solve_blocks(ptm_b: PtMajorBA, opts: BAOptions, Q: int):
     separate devices with no cross-block communication."""
 
     def one(ptm):
-        return _lm_loop(ptm, opts, Q, lambda x: x)
+        poses, points_t, info = _lm_loop((ptm,), opts, (Q,), lambda x: x)
+        return poses, points_t[0], info
 
     axes = PtMajorBA(poses=0, points=0, intrinsics=None, cam_idx=0, uv=0,
                      slot_mask=0, pose_free=0, point_fixed=0)
