@@ -302,28 +302,37 @@ def _chunk_stats(poses, intr, pose_free, lam, chunk_in, delta, cutoff):
     bp = -jnp.sum((Px * rx[:, None] + Py * ry[:, None]).reshape(Q, Sp, 3),
                   axis=1)                                    # (Q, 3)
     Vinv = _vinv3(V, lam, dt)
-    # W blocks B = Jc^T Jp (6, 3) per slot -> dense per-point camera
-    # columns D (Q, 6, 3, C) via the one-hot matmul.
-    W18 = (Jx[:, :, None] * Px[:, None, :]
-           + Jy[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 18)
-    D = jnp.einsum("qsc,qsw->qwc", E, W18).reshape(Q, 6, 3, C)
+    # W blocks per slot in K-MAJOR packing W[k*6+j] = B[j,k] = Jc_j Jp_k,
+    # so the dense per-point camera columns D reshape FOR FREE into the
+    # (rows=(q,k), cols=(j,c)) 2-D operand the S matmul wants — no XLA
+    # layout transposes (the 4-D einsum form spent more on transposing its
+    # 1.2 GB operands than on the contraction itself).
+    W18 = (Px[:, :, None] * Jx[:, None, :]
+           + Py[:, :, None] * Jy[:, None, :]).reshape(Q, Sp, 18)
+    D = jnp.einsum("qsc,qsw->qwc", E, W18).reshape(Q, 3, 6, C)
     # Freeze mask on the camera-row dimension: W -> M W.
-    D = D * pose_free.T[None, :, None, :]
-    H = jnp.einsum("qkl,qjlc->qjkc", Vinv, D)
+    D = D * pose_free.T[None, None, :, :]
+    # H[q,k] = sum_l Vinv[q,k,l] D[q,l] — tiny contraction, kept
+    # elementwise (broadcast-multiply + sum) to avoid einsum relayouts.
+    H = jnp.sum(Vinv[:, :, :, None, None] * D[:, None, :, :, :], axis=2)
+    D2 = D.reshape(3 * Q, 6 * C)
+    H2 = H.reshape(3 * Q, 6 * C)
     # The S contraction is ~90% of the pass-A FLOPs (2*3Q*(6C)^2). S only
     # steers the LM STEP (accept/reject uses the exact f32 cost), so for
     # f32 problems it runs in bf16 with f32 accumulation — one MXU-native
-    # pass instead of the 3-6 bf16 passes an f32 matmul costs on TPU
-    # (measured: the full-f32 version spent 330 of 423 ms here).
+    # pass instead of the 3-6 bf16 passes an f32 matmul costs on TPU.
     if D.dtype == jnp.float32:
-        S_pt = jnp.einsum("qjkc,qikd->cjdi", H.astype(jnp.bfloat16),
-                          D.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        S_pt = jax.lax.dot_general(
+            H2.astype(jnp.bfloat16), D2.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     else:
-        S_pt = jnp.einsum("qjkc,qikd->cjdi", H, D)           # (C,6,C,6)
-    y = jnp.einsum("qkl,ql->qk", Vinv, bp)
-    rhs_pt = jnp.einsum("qjkc,qk->cj", D, y)
-    return Ucat, S_pt.reshape(6 * C, 6 * C), rhs_pt
+        S_pt = jax.lax.dot_general(
+            H2, D2, dimension_numbers=(((0,), (0,)), ((), ())))
+    # S_pt is (6C, 6C) in (j, c)-major packing: index = j * C + c.
+    y = jnp.einsum("qkl,ql->qk", Vinv, bp).reshape(3 * Q)
+    rhs_pt = (D2.T @ y).reshape(6, C).T                      # (C, 6)
+    return Ucat, S_pt, rhs_pt
 
 
 def _chunk_backsub(poses, intr, pose_free, dc6, lam, chunk_in, delta,
@@ -457,10 +466,11 @@ def _lm_loop(strata, opts, Qs, allreduce):
         bc = -Ucat[:, 36:]                                   # (C, 6)
         d6 = jnp.eye(6, dtype=dt)
         U_d = U + lam * U * d6 + 1e-8 * d6
-        S = (jnp.einsum("cd,cij->cidj", eyeC, U_d).reshape(6 * C, 6 * C)
+        # (j, c)-major packing throughout (matches the S_pt matmul layout).
+        S = (jnp.einsum("cd,cji->jcid", eyeC, U_d).reshape(6 * C, 6 * C)
              - S_pt)
-        rhs = (bc - rhs_pt).reshape(6 * C)
-        dc6 = jnp.linalg.solve(S, rhs).reshape(C, 6) * p0.pose_free
+        rhs = (bc - rhs_pt).T.reshape(6 * C)
+        dc6 = jnp.linalg.solve(S, rhs).reshape(6, C).T * p0.pose_free
 
         cand_points = []
         for ptm, chunks, Q in zip(strata, chunk_sets, Qs):

@@ -59,6 +59,12 @@ class GlobalSfMConfig:
     # set has 10^4-10^5 candidate pairs; at ~27 ms dispatch RTT per program
     # the per-pair path would spend hours on round-trips alone).
     pair_chunk: int = 0
+    # Keyframe/map-block partitioned BA (BASELINE config 5): > 0 splits the
+    # final bundle adjustment into this many camera blocks solved as
+    # vmapped dense-Schur sub-problems (ba/partitioned.py), optionally
+    # sharded over a device mesh (``ba_mesh``). 0 = single global solve.
+    ba_blocks: int = 0
+    ba_sweeps: int = 3
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -195,7 +201,7 @@ def _multiview_triangulate(P_mats: jnp.ndarray, uv: jnp.ndarray,
 def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
                    pairs: Optional[List[Tuple[int, int]]] = None,
                    config: GlobalSfMConfig = GlobalSfMConfig(),
-                   key=None):
+                   key=None, ba_mesh=None):
     """Reconstruct an unordered image collection.
 
     Args:
@@ -418,7 +424,14 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
         pose_fixed=jnp.asarray(pose_fixed),
         point_fixed=jnp.zeros(len(Xk), bool),
     )
-    out, info = bundle_adjust(prob, config.ba_options)
+    if config.ba_blocks > 0:
+        from sara_tpu.ba.partitioned import partitioned_bundle_adjust
+
+        out, info = partitioned_bundle_adjust(
+            prob, config.ba_blocks, config.ba_options,
+            sweeps=config.ba_sweeps, mesh=ba_mesh)
+    else:
+        out, info = bundle_adjust(prob, config.ba_options)
     float(info["final_cost"])  # honest sync before timing the stage
     _mark("bundle_adjustment")
 
@@ -431,6 +444,8 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
         "points": np.asarray(out.points),
         "tracker": tracker,
         "num_edges": len(edges),
+        "n_obs": len(obs_cam),
+        "ba_problem": prob,
         "ba_info": {k: np.asarray(v) for k, v in info.items()},
         "stage_times": stage_t,
     }
