@@ -422,6 +422,12 @@ def bundle_adjust(p: BAProblem, opts: BAOptions = BAOptions()):
     Dispatches to the explicit dense-Schur solver (ba/dense_schur.py) when
     eligible (host context, plain pinhole, moderate camera count), else to
     the matrix-free Schur+PCG program (:func:`bundle_adjust_cg`)."""
+    if p.points.shape[0] == 0 or p.uv.shape[0] == 0:
+        # Degenerate problem (nothing survived upstream filtering): no-op.
+        z = jnp.zeros((), p.poses.dtype)
+        return p, {"initial_cost": z, "final_cost": z,
+                   "costs": jnp.zeros((opts.max_iters,), p.poses.dtype),
+                   "lambda": jnp.asarray(opts.lambda_init, p.poses.dtype)}
     eligible = (opts.solver in ("auto", "dense")
                 and p.intr_free is None and p.intrinsics.shape[0] == 4
                 and p.poses.shape[0] <= opts.dense_max_cameras

@@ -237,6 +237,9 @@ def partitioned_bundle_adjust(prob: BAProblem, n_blocks: int,
     state. Boundary cameras are frozen within a block and refreshed between
     sweeps; the cross-block traffic is O(C*6) floats per sweep.
     """
+    if prob.points.shape[0] == 0 or prob.uv.shape[0] == 0:
+        z = jnp.zeros((), prob.poses.dtype)
+        return prob, {"initial_cost": z, "final_cost": z, "sweep": 0}
     plan = plan_blocks(prob, n_blocks)
     cur = prob
     info_out = {}

@@ -1,6 +1,8 @@
 """Global (unordered) SfM pipeline test on a synthetic collection
 (BASELINE config 4 building block)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -45,3 +47,32 @@ def test_global_sfm_batched_pair_stage():
     err = ate_rmse(centers, centers_gt)
     assert err < 0.15, f"ATE {err}"
     assert len(out["points"]) > 100
+
+
+def test_city_scale_partitioned_pipeline():
+    """Scaled-down BASELINE config-5 pipeline: city-grid scene, proximity
+    loop pairs, partitioned (keyframe/map-block) BA on the virtual mesh."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from bench_city_scale import make_city_scene, proximity_pairs
+
+    from sara_tpu.ba import BAOptions
+    from sara_tpu.parallel import make_mesh
+    from sara_tpu.sfm.global_sfm import GlobalSfMConfig, run_global_sfm
+    from sara_tpu.utils import ate_rmse
+
+    V = 48
+    kps, centers_gt, K = make_city_scene(V, capacity=256)
+    pairs = proximity_pairs(centers_gt)
+    cfg = GlobalSfMConfig(rel_pose_samples=128, min_pair_inliers=20,
+                          pair_chunk=32,
+                          ba_options=BAOptions(max_iters=10),
+                          ba_blocks=4, ba_sweeps=2)
+    mesh = make_mesh(4, axis="block")
+    out = run_global_sfm(kps, K, pairs=pairs, config=cfg, ba_mesh=mesh)
+    centers = np.stack([-out["R"][v].T @ out["t"][v] for v in range(V)])
+    err = ate_rmse(centers, centers_gt)
+    # Path spans ~40 units; demand small relative ATE.
+    assert err < 2.0, err
+    assert len(out["points"]) > 500
