@@ -215,19 +215,25 @@ def dense_eligible(stats, opts) -> bool:
 # -- chunked kernels ---------------------------------------------------------
 
 
-def _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
+def _slot_residual_jac(poses, points_q, intr, cam_q, uv_q, m_q,
                        point_fixed_q, delta, cutoff):
     """Residuals + Huber-weighted Jacobians for one point chunk, all in
-    (Q*Sp,) flat component layout. No gathers: per-slot pose rows come from
-    the one-hot matmul E @ poses.
+    (Q*Sp,) flat component layout. Per-slot pose rows come from a gather
+    out of the TINY (C, 6) pose table — small-table gathers vectorize well
+    on TPU (measured ~at matmul speed); it is the big-table row gathers
+    that are rate-limited (NOTES.md).
 
-    Pose-component freezing is NOT applied here: zeroing Jc columns
-    per-slot would need a second E matmul per pass; instead callers mask
-    the aggregated camera-side blocks (U, bc, D) by the (C, 6) free mask —
-    algebraically identical and one pass cheaper."""
-    Q, Sp, C = E.shape
+    Pose-component freezing is NOT applied here: callers mask the
+    aggregated camera-side blocks (U, bc, D) by the (C, 6) free mask —
+    algebraically identical and one pass cheaper.
+
+    For f32 problems the outputs are cast to bfloat16: they only feed the
+    Gauss-Newton block products (accumulated in f32), and halving the
+    bytes of every bulk (N, .) array is the pass-A bottleneck (measured
+    memory-pass-bound)."""
+    Q, Sp = cam_q.shape
     dt = poses.dtype
-    pose_ps = jnp.einsum("qsc,cd->qsd", E, poses)           # (Q, Sp, 6)
+    pose_ps = poses[cam_q]                                  # (Q, Sp, 6)
     N = Q * Sp
     w = pose_ps[..., :3].reshape(N, 3)
     tt = pose_ps[..., 3:].reshape(N, 3)
@@ -244,6 +250,9 @@ def _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
     Jpf = Jpf * hw[:, None]
     ptfree = (~point_fixed_q).astype(dt)
     Jpf = Jpf * jnp.repeat(ptfree, Sp)[:, None]
+    if dt == jnp.float32:
+        wd = jnp.bfloat16
+        return r.astype(wd), Jcf.astype(wd), Jpf.astype(wd)
     return r, Jcf, Jpf
 
 
@@ -276,62 +285,64 @@ def _chunk_stats(poses, intr, pose_free, lam, chunk_in, delta, cutoff):
     Q, Sp = cam_q.shape
     C = poses.shape[0]
     dt = poses.dtype
-    E = (jax.nn.one_hot(cam_q, C, dtype=dt)
-         * m_q[..., None].astype(dt))                       # (Q, Sp, C)
-    r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
-                                     ptfix_q, delta, cutoff)
+    # Bulk working dtype: bf16 for f32 problems (everything below feeds
+    # f32-accumulated block products; the pass is memory-pass-bound).
+    r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, cam_q, uv_q,
+                                     m_q, ptfix_q, delta, cutoff)
+    wd = r.dtype
+    E = (jax.nn.one_hot(cam_q, C, dtype=wd)
+         * m_q[..., None].astype(wd))                       # (Q, Sp, C)
     N = Q * Sp
     Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
     Px, Py = Jpf[:, :3], Jpf[:, 3:]
     rx, ry = r[:, 0], r[:, 1]
-    # Camera-side columns: U blocks (36) + J^T r (6), one MXU contraction.
+    # Camera-side columns: U blocks (36) + J^T r (6), one MXU contraction
+    # with f32 accumulation.
     u36 = (Jx[:, :, None] * Jx[:, None, :]
            + Jy[:, :, None] * Jy[:, None, :]).reshape(N, 36)
     jtr = Jx * rx[:, None] + Jy * ry[:, None]
     camcols = jnp.concatenate([u36, jtr], axis=1)           # (N, 42)
-    Ucat = jnp.einsum("nc,nu->cu", E.reshape(N, C), camcols)
+    Ucat = jnp.einsum("nc,nu->cu", E.reshape(N, C), camcols,
+                      preferred_element_type=dt)
     # Pose-component freezing, applied at block level (see
     # _slot_residual_jac): U -> M U M, bc -> M bc, i.e. mask the 42 cols.
     ff = (pose_free[:, :, None] * pose_free[:, None, :]).reshape(C, 36)
     Ucat = Ucat * jnp.concatenate([ff, pose_free], axis=1)
     # Point-side blocks: free reshape-sums (all of a point's slots are in
-    # its own row).
+    # its own row), f32 accumulation via the sum dtype.
     v9 = (Px[:, :, None] * Px[:, None, :]
           + Py[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 9)
-    V = jnp.sum(v9, axis=1).reshape(Q, 3, 3)
+    V = jnp.sum(v9, axis=1, dtype=dt).reshape(Q, 3, 3)
     bp = -jnp.sum((Px * rx[:, None] + Py * ry[:, None]).reshape(Q, Sp, 3),
-                  axis=1)                                    # (Q, 3)
+                  axis=1, dtype=dt)                          # (Q, 3)
     Vinv = _vinv3(V, lam, dt)
     # W blocks per slot in K-MAJOR packing W[k*6+j] = B[j,k] = Jc_j Jp_k,
     # so the dense per-point camera columns D reshape FOR FREE into the
     # (rows=(q,k), cols=(j,c)) 2-D operand the S matmul wants — no XLA
-    # layout transposes (the 4-D einsum form spent more on transposing its
-    # 1.2 GB operands than on the contraction itself).
+    # layout transposes.
     W18 = (Px[:, :, None] * Jx[:, None, :]
            + Py[:, :, None] * Jy[:, None, :]).reshape(Q, Sp, 18)
-    D = jnp.einsum("qsc,qsw->qwc", E, W18).reshape(Q, 3, 6, C)
+    D = jnp.einsum("qsc,qsw->qwc", E, W18,
+                   preferred_element_type=wd).reshape(Q, 3, 6, C)
     # Freeze mask on the camera-row dimension: W -> M W.
-    D = D * pose_free.T[None, None, :, :]
+    D = D * pose_free.T[None, None, :, :].astype(wd)
     # H[q,k] = sum_l Vinv[q,k,l] D[q,l] — tiny contraction, kept
     # elementwise (broadcast-multiply + sum) to avoid einsum relayouts.
-    H = jnp.sum(Vinv[:, :, :, None, None] * D[:, None, :, :, :], axis=2)
+    H = jnp.sum(Vinv.astype(wd)[:, :, :, None, None]
+                * D[:, None, :, :, :], axis=2)
     D2 = D.reshape(3 * Q, 6 * C)
     H2 = H.reshape(3 * Q, 6 * C)
-    # The S contraction is ~90% of the pass-A FLOPs (2*3Q*(6C)^2). S only
-    # steers the LM STEP (accept/reject uses the exact f32 cost), so for
-    # f32 problems it runs in bf16 with f32 accumulation — one MXU-native
-    # pass instead of the 3-6 bf16 passes an f32 matmul costs on TPU.
-    if D.dtype == jnp.float32:
-        S_pt = jax.lax.dot_general(
-            H2.astype(jnp.bfloat16), D2.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    else:
-        S_pt = jax.lax.dot_general(
-            H2, D2, dimension_numbers=(((0,), (0,)), ((), ())))
+    # The S contraction (2*3Q*(6C)^2 FLOPs) runs on bf16 operands with f32
+    # accumulation — S only steers the LM STEP (accept/reject uses the
+    # exact f32 cost).
+    S_pt = jax.lax.dot_general(
+        H2, D2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=dt)
     # S_pt is (6C, 6C) in (j, c)-major packing: index = j * C + c.
-    y = jnp.einsum("qkl,ql->qk", Vinv, bp).reshape(3 * Q)
-    rhs_pt = (D2.T @ y).reshape(6, C).T                      # (C, 6)
+    y = jnp.einsum("qkl,ql->qk", Vinv, bp).reshape(3 * Q).astype(wd)
+    rhs_pt = jax.lax.dot_general(
+        D2, y, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=dt).reshape(6, C).T           # (C, 6)
     return Ucat, S_pt, rhs_pt
 
 
@@ -341,36 +352,33 @@ def _chunk_backsub(poses, intr, pose_free, dc6, lam, chunk_in, delta,
     cheap per-slot quantities; no gathers)."""
     points_q, cam_q, uv_q, m_q, ptfix_q = chunk_in
     Q, Sp = cam_q.shape
-    C = poses.shape[0]
     dt = poses.dtype
-    E = (jax.nn.one_hot(cam_q, C, dtype=dt) * m_q[..., None].astype(dt))
-    r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, E, uv_q, m_q,
-                                     ptfix_q, delta, cutoff)
-    N = Q * Sp
+    r, Jcf, Jpf = _slot_residual_jac(poses, points_q, intr, cam_q, uv_q,
+                                     m_q, ptfix_q, delta, cutoff)
     Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
     Px, Py = Jpf[:, :3], Jpf[:, 3:]
     rx, ry = r[:, 0], r[:, 1]
     v9 = (Px[:, :, None] * Px[:, None, :]
           + Py[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 9)
-    V = jnp.sum(v9, axis=1).reshape(Q, 3, 3)
+    V = jnp.sum(v9, axis=1, dtype=dt).reshape(Q, 3, 3)
     bp = -jnp.sum((Px * rx[:, None] + Py * ry[:, None]).reshape(Q, Sp, 3),
-                  axis=1)
+                  axis=1, dtype=dt)
     Vinv = _vinv3(V, lam, dt)
     W18 = (Jx[:, :, None] * Px[:, None, :]
            + Jy[:, :, None] * Py[:, None, :]).reshape(Q, Sp, 6, 3)
-    dcs = jnp.einsum("qsc,cj->qsj", E, dc6)                  # (Q, Sp, 6)
-    z = jnp.einsum("qsjk,qsj->qk", W18, dcs)                 # (Q, 3)
+    # Small-table gather of the camera steps (dc6 is (C, 6)).
+    dcs = dc6.astype(W18.dtype)[cam_q] * m_q[..., None].astype(W18.dtype)
+    z = jnp.einsum("qsjk,qsj->qk", W18, dcs,
+                   preferred_element_type=dt)                # (Q, 3)
     dp = jnp.einsum("qkl,ql->qk", Vinv, bp - z)
     return jnp.where(ptfix_q[:, None], 0.0, dp)
 
 
 def _chunk_cost(poses, points_q, intr, cam_q, uv_q, m_q, delta, cutoff):
-    """Robust (trimmed-Huber) cost of one chunk — mirrors ba_cost."""
+    """Robust (trimmed-Huber) cost of one chunk — mirrors ba_cost. Stays
+    in the problem dtype end to end (accept/reject must be exact)."""
     Q, Sp = cam_q.shape
-    C = poses.shape[0]
-    dt = poses.dtype
-    E = (jax.nn.one_hot(cam_q, C, dtype=dt) * m_q[..., None].astype(dt))
-    pose_ps = jnp.einsum("qsc,cd->qsd", E, poses)
+    pose_ps = poses[cam_q]                                  # small-table
     N = Q * Sp
     w = pose_ps[..., :3].reshape(N, 3)
     tt = pose_ps[..., 3:].reshape(N, 3)
