@@ -278,41 +278,75 @@ class OdometryPipeline:
         undistort = self.maps is not None
         umap, vmap_ = (self.maps if undistort
                        else (jnp.zeros((1, 1)), jnp.zeros((1, 1))))
-        i = start
-        while i < len(images):
+
+        fast = self.cfg.rel_pose_samples_fast
+        n_fast = fast if 0 < fast < self.cfg.rel_pose_samples \
+            else self.cfg.rel_pose_samples
+
+        def dispatch(i, prev_kp):
+            """Dispatch one window's fused frontend (async); returns the
+            pending record. ``prev_kp`` may be a NOT-YET-READY device array
+            (the previous window's last detection) — dispatch-ahead keeps
+            the device busy while the host integrates the previous window
+            (VERDICT r3 item 8; same structure as bench.py's depth-2
+            pipelining)."""
             chunk = [np.asarray(gray_from_any(im), np.float32)
                      for im in images[i:i + B]]
             n = len(chunk)
-            # Pad the final window to the compiled batch size; padded
-            # slots repeat the last frame and are never integrated.
             imgs = jnp.asarray(np.stack(chunk + [chunk[-1]] * (B - n)))
             keys = jax.random.split(self._next_key(), B)
-            fast = self.cfg.rel_pose_samples_fast
-            n_fast = fast if 0 < fast < self.cfg.rel_pose_samples \
-                else self.cfg.rel_pose_samples
             kps, ms, ress, Rs, ts = _fused_frontend_batch(
-                imgs, umap, vmap_, self._prev_keypoints, keys,
+                imgs, umap, vmap_, prev_kp, keys,
                 jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
                 self.cfg.rel_pose_threshold_px, n_fast,
                 self.cfg.rel_pose_min_inliers, undistort)
-            chain_ok = True
-            for k in range(n):
+            # The window's last detection: the matching target of the NEXT
+            # window (valid even for padded slots — they repeat the last
+            # real frame).
+            last_kp = jax.tree_util.tree_map(lambda x: x[-1], kps)
+            return dict(i=i, n=n, chunk=chunk, kps=kps, ms=ms, ress=ress,
+                        Rs=Rs, ts=ts, last_kp=last_kp)
+
+        def integrate(p):
+            """Host integration of one dispatched window. The window's
+            batched results assumed every earlier frame was accepted (its
+            first frame matched the previous image's detection); if a
+            rejection broke that chain, fall back per frame."""
+            chain_ok = len(self.frames) == p["i"]
+            for k in range(p["n"]):
                 sl = lambda t: jax.tree_util.tree_map(lambda x: x[k], t)
-                self._pending_image = chunk[k]
+                self._pending_image = p["chunk"][k]
+                fi = frame_indices[p["i"] + k]
                 if chain_ok:
-                    ok = self._integrate(sl(kps), sl(ms), sl(ress),
-                                         Rs[k], ts[k], frame_indices[i + k])
+                    ok = self._integrate(sl(p["kps"]), sl(p["ms"]),
+                                         sl(p["ress"]), p["Rs"][k],
+                                         p["ts"][k], fi)
                     if not ok:
                         chain_ok = False
                 else:
                     # Re-match against the last accepted frame. On success
-                    # this frame becomes the last accepted one, so the next
-                    # frame's batched result (matched against this frame's
-                    # detection) is valid again.
-                    ok = self.process_keypoints(sl(kps), frame_indices[i + k])
+                    # this frame becomes the last accepted one, so the
+                    # next frame's batched result (matched against this
+                    # frame's detection) is valid again.
+                    ok = self.process_keypoints(sl(p["kps"]), fi)
                     chain_ok = bool(ok)
                 out.append(ok)
-            i += n
+
+        pending = None
+        i = start
+        while i < len(images):
+            prev_kp = (pending["last_kp"] if pending is not None
+                       else self._prev_keypoints)
+            cur = dispatch(i, prev_kp)
+            i += cur["n"]
+            if pending is not None:
+                integrate(pending)
+                # If integration diverged from the dispatch assumption the
+                # fallback path already fixed up state; the in-flight
+                # window falls back at its own integrate call.
+            pending = cur
+        if pending is not None:
+            integrate(pending)
         return out
 
     def process_keypoints(self, kp: Keypoints, frame_index: int = -1) -> bool:

@@ -125,6 +125,35 @@ def main():
                 "initial_cost": float(info["initial_cost"]),
                 "roofline_frac": est.roofline_seconds() / (run_s / args.iters),
             }
+            if solver == "dense":
+                # Device-resident measurement: the end-to-end number above
+                # re-packs on the host and re-ships ~24 MB through this
+                # runtime's ~30 MB/s tunnel EVERY call — a measurement
+                # artifact (PCIe on real hardware moves it in ~2 ms). Time
+                # the solver itself on pre-packed device-resident strata,
+                # exactly how the CG number is taken (its BAProblem arrays
+                # are already device-resident).
+                from sara_tpu.ba.dense_schur import (
+                    dense_schur_bundle_adjust_strata, pack_pt_major_strata)
+
+                strata, _ids, st = pack_pt_major_strata(
+                    prob, chunk=opts.dense_chunk)
+                Qs = tuple(st["chunks"])
+                _, _, inf0 = dense_schur_bundle_adjust_strata(
+                    tuple(strata), opts, Qs)
+                float(inf0["final_cost"])
+                t0 = time.perf_counter()
+                _, _, inf1 = dense_schur_bundle_adjust_strata(
+                    tuple(strata), opts, Qs)
+                float(inf1["final_cost"])
+                dev_s = time.perf_counter() - t0
+                print(f"{name}[dense/device-resident]: "
+                      f"run={dev_s*1e3:.0f}ms  "
+                      f"{args.iters/dev_s:.2f} LM iters/s", flush=True)
+                results[name]["dense_device"] = {
+                    "lm_iters_per_s": args.iters / dev_s,
+                    "ms_per_lm_iter": dev_s * 1e3 / args.iters,
+                }
     if args.json:
         import json
 
