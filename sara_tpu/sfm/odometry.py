@@ -279,9 +279,11 @@ class OdometryPipeline:
         umap, vmap_ = (self.maps if undistort
                        else (jnp.zeros((1, 1)), jnp.zeros((1, 1))))
 
-        fast = self.cfg.rel_pose_samples_fast
-        n_fast = fast if 0 < fast < self.cfg.rel_pose_samples \
-            else self.cfg.rel_pose_samples
+        # The batched path has no per-frame retry (the per-frame path
+        # re-runs E-RANSAC at full strength on rejection), so it runs the
+        # FULL hypothesis budget up front — the batch amortizes the
+        # dispatch cost that motivated the fast pass.
+        n_full = self.cfg.rel_pose_samples
 
         def dispatch(i, prev_kp):
             """Dispatch one window's fused frontend (async); returns the
@@ -298,7 +300,7 @@ class OdometryPipeline:
             kps, ms, ress, Rs, ts = _fused_frontend_batch(
                 imgs, umap, vmap_, prev_kp, keys,
                 jnp.asarray(self.K), self.cfg.sift, self.cfg.match_ratio,
-                self.cfg.rel_pose_threshold_px, n_fast,
+                self.cfg.rel_pose_threshold_px, n_full,
                 self.cfg.rel_pose_min_inliers, undistort)
             # The window's last detection: the matching target of the NEXT
             # window (valid even for padded slots — they repeat the last
