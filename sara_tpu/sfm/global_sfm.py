@@ -260,7 +260,13 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
         msk = stack_pad([k.mask for k in keypoint_sets])
         N = xy.shape[1]
         arange = np.arange(N)
-        for c0 in range(0, len(pairs), B):
+        n_chunks = -(-len(pairs) // B)
+        for ci, c0 in enumerate(range(0, len(pairs), B)):
+            if ci % 20 == 0:
+                import sys as _sys
+
+                print(f"  pair stage: chunk {ci}/{n_chunks}",
+                      file=_sys.stderr, flush=True)
             chunk = pairs[c0:c0 + B]
             pad = B - len(chunk)
             ia = jnp.asarray([p[0] for p in chunk] + [0] * pad, jnp.int32)

@@ -51,9 +51,11 @@ def main():
     def chunk_work(poses, ch, stage):
         points_q, cam_q, uv_q, m_q, ptfix_q = ch
         Qc, Sp = cam_q.shape
-        E = (jax.nn.one_hot(cam_q, C, dtype=dt) * m_q[..., None].astype(dt))
-        r, Jcf, Jpf = _slot_residual_jac(poses, points_q, ptm.intrinsics, E,
-                                         uv_q, m_q, ptfix_q, delta, cutoff)
+        r, Jcf, Jpf = _slot_residual_jac(poses, points_q, ptm.intrinsics,
+                                         cam_q, uv_q, m_q, ptfix_q, delta,
+                                         cutoff)
+        wd = r.dtype
+        E = (jax.nn.one_hot(cam_q, C, dtype=wd) * m_q[..., None].astype(wd))
         N = Qc * Sp
         Jx, Jy = Jcf[:, :6], Jcf[:, 6:]
         Px, Py = Jpf[:, :3], Jpf[:, 3:]
