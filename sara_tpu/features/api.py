@@ -86,6 +86,18 @@ class SIFTParams:
     desc_sample_nearest: bool = True   # same choice for the field
                                        # descriptor's 16 bin centers
                                        # (16 vs 64 rows/keypoint).
+    desc_sampler: str = "gather"  # "pallas" = bulk patch-DMA kernel
+                                  # (ops/patch_sampler.py): one strided
+                                  # HBM->VMEM DMA per keypoint + MXU
+                                  # bilinear weighting. Measured (trace,
+                                  # octave-0 shape): 3.1 ms vs 9.7 ms for
+                                  # XLA BILINEAR gathers — but the shipped
+                                  # nearest-gather point is 2.1 ms (the
+                                  # 36-channel field wastes 92/128 DMA
+                                  # lanes per patch), so "gather" stays
+                                  # the throughput default and "pallas"
+                                  # is the bilinear-quality option.
+                                  # "auto" = pallas on TPU when it fits.
     # Row-gather rate (~30 rows/us) bounds both stages on TPU. Measured on
     # the ds=2 maps the TPU uses (CPU harness, orientation_downsample=2):
     # desc-nearest costs ~2% correct matches; hist-nearest costs ~7%
@@ -107,6 +119,9 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     ds = (params.orientation_downsample if params.orientation_downsample > 0
           else (2 if cdt is not None else 1))
 
+    # Raw 36-channel maps: the patch-DMA descriptor sampler reinterprets
+    # them as x-PACKED (S, H, W/2, 72) cells for free (row-major view) and
+    # pads 72->128 itself — half the pad/DMA bytes of padding 36->128 here.
     maps = orientation_maps(gx, gy, sigmas[:-1], compute_dtype=cdt,
                             downsample=ds)
     hist = lowe_smooth(sample_orientation_maps(
@@ -138,7 +153,8 @@ def _process_octave(gauss: jnp.ndarray, dog: jnp.ndarray, params: SIFTParams,
     if params.descriptor_field:
         desc = sift_descriptors_field(
             maps, x, y, s, th, sigmas[:-1], downsample=ds,
-            bilinear=not params.desc_sample_nearest)
+            bilinear=not params.desc_sample_nearest,
+            sampler=params.desc_sampler)
     else:
         desc = sift_descriptors(gx, gy, x, y, s, th, sigmas[:-1],
                                 bilinear=params.descriptor_bilinear,

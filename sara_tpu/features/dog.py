@@ -132,6 +132,46 @@ def _grad_hess_3d(n: jnp.ndarray):
     return g, (hss, hyy, hxx, hsy, hsx, hyx)
 
 
+def _derivative_field(dog: jnp.ndarray) -> jnp.ndarray:
+    """Dense flat derivative field of a (S, H, W) stack: (S*H*W, 10) rows
+    [c, gs, gy, gx, hss, hyy, hxx, hsy, hsx, hyx] (central differences,
+    edge-replicated borders — identical values to the 27-neighborhood
+    gather path).
+
+    Why dense: the per-iteration (K, 27) neighborhood gathers are 27 K
+    SCALAR gather descriptors (~2-4 ms/frame at K=4096x2 octaves on the
+    profiled chip); the dense build is one bandwidth-bound fused pass and
+    each refinement iteration then reads ONE contiguous 10-channel row per
+    keypoint (~0.1 ms) — same math, ~25x fewer gather descriptors."""
+    S, H, W = dog.shape
+    pad = jnp.pad(dog, ((1, 1), (1, 1), (1, 1)), mode="edge")
+
+    def sh(ds, dy, dx):
+        return pad[1 + ds:1 + ds + S, 1 + dy:1 + dy + H,
+                   1 + dx:1 + dx + W]
+
+    c = dog
+    gs = 0.5 * (sh(1, 0, 0) - sh(-1, 0, 0))
+    gy = 0.5 * (sh(0, 1, 0) - sh(0, -1, 0))
+    gx = 0.5 * (sh(0, 0, 1) - sh(0, 0, -1))
+    hss = sh(1, 0, 0) + sh(-1, 0, 0) - 2 * c
+    hyy = sh(0, 1, 0) + sh(0, -1, 0) - 2 * c
+    hxx = sh(0, 0, 1) + sh(0, 0, -1) - 2 * c
+    hsy = 0.25 * (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0)
+                  + sh(-1, -1, 0))
+    hsx = 0.25 * (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1)
+                  + sh(-1, 0, -1))
+    hyx = 0.25 * (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1)
+                  + sh(0, -1, -1))
+    return jnp.stack([c, gs, gy, gx, hss, hyy, hxx, hsy, hsx, hyx],
+                     axis=-1).reshape(S * H * W, 10)
+
+
+def _read_field(field: jnp.ndarray, W: int, HW: int, s, y, x):
+    """One flat row per keypoint: (K, 10) derivative rows at (s, y, x)."""
+    return jnp.take(field, s * HW + y * W + x, axis=0)
+
+
 def _on_edge(n: jnp.ndarray, edge_ratio: float):
     """Edge test on the spatial 2x2 Hessian: tr^2 * r >= (r+1)^2 * det
     (reference: RefineExtremum.cpp:24-30). n is the flat (K, 27)
@@ -187,11 +227,16 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
     x0 = rem % W
 
     # Iterative Newton refinement with integer re-centering
-    # (reference: RefineExtremum.cpp:45-120).
+    # (reference: RefineExtremum.cpp:45-120), reading the dense derivative
+    # field (one contiguous row per keypoint — see _derivative_field).
+    field = _derivative_field(dog)
+    HW = H * W
+
     def body(_, state):
         s, y, x, done = state
-        n = _gather_neighborhood(dog, s, y, x)
-        g, hcomp = _grad_hess_3d(n)
+        rows = _read_field(field, W, HW, s, y, x)
+        g = rows[:, 1:4]
+        hcomp = tuple(rows[:, 4 + i] for i in range(6))
         # Solve H h = -g (3x3); regularize tiny determinants.
         h = -_solve3(hcomp, g)
         # If the spatial offset exceeds 0.6, shift the integer position.
@@ -208,18 +253,25 @@ def detect_dog_octave(dog: jnp.ndarray, params: DoGParams = DoGParams()):
     s1, y1, x1, _ = jax.lax.fori_loop(0, params.refine_iters, body,
                                       (s0, y0, x0, done0))
 
-    n = _gather_neighborhood(dog, s1, y1, x1)
-    g, hcomp = _grad_hess_3d(n)
+    rows = _read_field(field, W, HW, s1, y1, x1)
+    g = rows[:, 1:4]
+    hcomp = tuple(rows[:, 4 + i] for i in range(6))
     h = -_solve3(hcomp, g)
     # Clamp the final sub-pixel offset; reject wild steps
     # (reference rejects |h| > 1.5).
     ok_step = jnp.max(jnp.abs(h), axis=-1) <= 1.5
     h = jnp.clip(h, -1.5, 1.5)
-    value = n[:, _nc(0, 0, 0)] + 0.5 * jnp.sum(g * h, axis=-1)
+    value = rows[:, 0] + 0.5 * jnp.sum(g * h, axis=-1)
 
     valid = valid & ok_step & (jnp.abs(value) >= params.extremum_thres)
     if params.edge_test:
-        valid = valid & ~_on_edge(n, params.edge_ratio)
+        # Edge test on the spatial 2x2 Hessian (reference:
+        # RefineExtremum.cpp:24-30) from the same field row.
+        hyy, hxx, hyx = rows[:, 5], rows[:, 6], rows[:, 9]
+        tr = hxx + hyy
+        det = hxx * hyy - hyx * hyx
+        r = params.edge_ratio
+        valid = valid & ~(tr * tr * r >= (r + 1.0) ** 2 * det)
 
     return {
         "x": x1.astype(jnp.float32) + h[..., 2],

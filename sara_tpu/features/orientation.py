@@ -61,8 +61,16 @@ def _bilinear_channels(maps: jnp.ndarray, ys, xs):
 
 def orientation_maps(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
                      sigmas, radius_factor: float = 1.5,
-                     compute_dtype=None, downsample: int = 1) -> jnp.ndarray:
+                     compute_dtype=None, downsample: int = 1,
+                     pad_channels: int = 0) -> jnp.ndarray:
     """Dense Gaussian-blurred 36-bin magnitude maps, (S, Hc, Wc, 36).
+
+    ``pad_channels``: zero-pad the channel dim to this width (TPU lane
+    tiling pads the minor dim to 128 physically anyway; padding it
+    LOGICALLY at the producer lets the patch-DMA sampler slice whole
+    tiles and XLA fold the pad into the transpose it already performs,
+    instead of a separate ~1 ms pad copy per frame). Consumers index
+    channels [:36] explicitly.
 
     The shared field both orientation assignment and the fast "field"
     descriptor sample from: blur sigma_w = radius_factor * sigma_s per
@@ -118,7 +126,11 @@ def orientation_maps(gx_stack: jnp.ndarray, gy_stack: jnp.ndarray,
             taps = jnp.asarray(np.exp(-(xs * xs) / (2.0 * sw * sw)), dtype)
             per_scale.append(separable_conv2d(dense[si], taps, taps))
         maps = jnp.stack(per_scale, axis=0)[:, :, ::stride, ::stride]
-    return jnp.moveaxis(maps, 1, -1)              # (S, Hc, Wc, 36)
+    out = jnp.moveaxis(maps, 1, -1)               # (S, Hc, Wc, 36)
+    if pad_channels > NUM_BINS:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, 0),
+                            (0, pad_channels - NUM_BINS)))
+    return out
 
 
 def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
@@ -135,7 +147,7 @@ def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
     sigma_w >= 2.4 map pixels, so the <=0.5 px sampling shift is far
     inside the window (quality-gated in eval_detection_quality).
     """
-    S, Hc, Wc, FB = maps.shape
+    S, Hc, Wc, Cm = maps.shape          # Cm may be lane-padded (>= 36)
     s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
     if downsample > 1:
         # Half-res sample j holds the blur at original pixel stride*j.
@@ -143,12 +155,12 @@ def sample_orientation_maps(maps: jnp.ndarray, x, y, s,
         y = y / downsample
     xc = jnp.clip(x, 0.0, Wc - 1.0)
     yc = jnp.clip(y, 0.0, Hc - 1.0)
-    flat = maps.reshape(S * Hc * Wc, FB)
+    flat = maps.reshape(S * Hc * Wc, Cm)
     base = s_idx * (Hc * Wc)
 
     def take(yy, xx):
         return jnp.take(flat, base + yy * Wc + xx,
-                        axis=0).astype(jnp.float32)
+                        axis=0).astype(jnp.float32)[:, :NUM_BINS]
 
     if not bilinear:
         xn = jnp.round(xc).astype(jnp.int32)

@@ -154,7 +154,8 @@ def root_sift(desc: jnp.ndarray) -> jnp.ndarray:
 
 def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
                            downsample: int = 1,
-                           bilinear: bool = True) -> jnp.ndarray:
+                           bilinear: bool = True,
+                           sampler: str = "auto") -> jnp.ndarray:
     """128-D descriptors sampled from the dense blurred orientation maps.
 
     DAISY-style fast variant of the SIFT descriptor (cf. the exact-grid
@@ -177,12 +178,18 @@ def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
       x, y, s, theta: (K,) keypoint geometry (octave pixel coords).
       sigmas: per-scale sigmas (static tuple).
       downsample: the maps' stride (must match orientation_maps).
+      sampler: "gather" = XLA row gathers (nearest or bilinear per
+        ``bilinear``); "pallas" = bulk patch-DMA kernel
+        (ops/patch_sampler.py — one strided HBM->VMEM DMA per keypoint +
+        MXU bilinear weighting; beats the ~30 rows/us gather-rate floor
+        and always samples exact bilinear); "auto" = pallas on TPU when
+        the patch geometry fits, gather otherwise.
 
     Returns (K, 128) float32, L2-normalized with 0.2 clamping.
     """
     from sara_tpu.features.orientation import NUM_BINS as FB  # 36
 
-    S, Hc, Wc, _ = maps.shape
+    S, Hc, Wc, Cm = maps.shape          # Cm may be lane-padded (>= 36)
     K = x.shape[0]
     s_idx = jnp.clip(jnp.round(s).astype(jnp.int32), 0, S - 1)
     sig_table = jnp.asarray(sigmas, jnp.float32)
@@ -200,40 +207,60 @@ def sift_descriptors_field(maps: jnp.ndarray, x, y, s, theta, sigmas,
     if downsample > 1:
         xs = xs / downsample
         ys = ys / downsample
-    xc = jnp.clip(xs, 0.0, Wc - 1.0)
-    yc = jnp.clip(ys, 0.0, Hc - 1.0)
-    # Flat single-axis row gather: the multi-axis advanced-indexing form
-    # maps[si, y, x] reproducibly kernel-faults the TPU runtime at
-    # K >= ~3840 (round-3 bisect, scripts/probe_fault_desc.py); a linear
-    # row index into the (S*Hc*Wc, 36) view lowers to the canonical 1-D
-    # gather and is also the layout-friendliest form.
-    flat = maps.reshape(S * Hc * Wc, FB)
-    base = s_idx[:, None] * (Hc * Wc)
 
-    def take(yy, xx):
-        lin = (base + yy * Wc + xx).reshape(-1)
-        return jnp.take(flat, lin, axis=0).reshape(K, -1, FB) \
-            .astype(jnp.float32)
+    if sampler == "auto":
+        import jax
 
-    if bilinear:
-        x0 = jnp.floor(xc).astype(jnp.int32)
-        y0 = jnp.floor(yc).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, Wc - 1)
-        y1 = jnp.minimum(y0 + 1, Hc - 1)
-        fx = (xc - x0)[..., None].astype(jnp.float32)
-        fy = (yc - y0)[..., None].astype(jnp.float32)
-        F = (take(y0, x0) * (1 - fx) * (1 - fy)
-             + take(y0, x1) * fx * (1 - fy)
-             + take(y1, x0) * (1 - fx) * fy
-             + take(y1, x1) * fx * fy)                        # (K, 16, 36)
-    else:
-        # One nearest row per bin center: row-gather rate bounds this
-        # stage on TPU (~30 rows/us) and the field is blurred with
-        # sigma_w = l/2 >= 2.4 map px, so the <=0.5 px shift is benign
-        # (quality-gated in eval_detection_quality).
-        xn = jnp.round(xc).astype(jnp.int32)
-        yn = jnp.round(yc).astype(jnp.int32)
-        F = take(yn, xn)
+        sampler = "pallas" if jax.default_backend() == "tpu" else "gather"
+    F = None
+    if sampler == "pallas":
+        import math
+
+        from sara_tpu.ops.patch_sampler import sample_field_patches
+
+        # Static spread bound: bin centers at radius 1.5*sqrt(2)*l of the
+        # keypoint (= the sample centroid for the symmetric 4x4 grid).
+        rad = 1.5 * math.sqrt(2.0) * BIN_SCALE_UNIT * max(sigmas) \
+            / downsample
+        F = sample_field_patches(maps, s_idx, ys, xs,
+                                 max_sample_radius=rad)  # None if unfit
+        if F is not None:
+            F = F[..., :FB]
+    if F is None:
+        xc = jnp.clip(xs, 0.0, Wc - 1.0)
+        yc = jnp.clip(ys, 0.0, Hc - 1.0)
+        # Flat single-axis row gather: the multi-axis advanced-indexing
+        # form maps[si, y, x] reproducibly kernel-faults the TPU runtime
+        # at K >= ~3840 (round-3 bisect, scripts/probe_fault_desc.py); a
+        # linear row index into the (S*Hc*Wc, 36) view lowers to the
+        # canonical 1-D gather and is also the layout-friendliest form.
+        flat = maps.reshape(S * Hc * Wc, Cm)
+        base = s_idx[:, None] * (Hc * Wc)
+
+        def take(yy, xx):
+            lin = (base + yy * Wc + xx).reshape(-1)
+            return jnp.take(flat, lin, axis=0).reshape(K, -1, Cm) \
+                .astype(jnp.float32)[..., :FB]
+
+        if bilinear:
+            x0 = jnp.floor(xc).astype(jnp.int32)
+            y0 = jnp.floor(yc).astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, Wc - 1)
+            y1 = jnp.minimum(y0 + 1, Hc - 1)
+            fx = (xc - x0)[..., None].astype(jnp.float32)
+            fy = (yc - y0)[..., None].astype(jnp.float32)
+            F = (take(y0, x0) * (1 - fx) * (1 - fy)
+                 + take(y0, x1) * fx * (1 - fy)
+                 + take(y1, x0) * (1 - fx) * fy
+                 + take(y1, x1) * fx * fy)                    # (K, 16, 36)
+        else:
+            # One nearest row per bin center: row-gather rate bounds this
+            # stage on TPU (~30 rows/us) and the field is blurred with
+            # sigma_w = l/2 >= 2.4 map px, so the <=0.5 px shift is benign
+            # (quality-gated in eval_detection_quality).
+            xn = jnp.round(xc).astype(jnp.int32)
+            yn = jnp.round(yc).astype(jnp.int32)
+            F = take(yn, xn)
 
     # Collapse 36 fine orientation channels into 8 theta-rotated coarse bins
     # with the exact path's circular triangle weights (bins centered at

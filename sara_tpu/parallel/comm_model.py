@@ -34,6 +34,9 @@ from dataclasses import dataclass
 from sara_tpu.utils.roofline import PEAK_F32_FLOPS
 
 ICI_BW = 45e9  # bytes/s per link, v5e 2-D torus (per direction)
+DCN_BW = 25e9  # bytes/s per host NIC, inter-host data-center network —
+               # what cross-host boundary exchanges of the partitioned
+               # dense-Schur BA (ba/partitioned.py) ride on
 
 
 @dataclass(frozen=True)

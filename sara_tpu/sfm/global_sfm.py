@@ -65,6 +65,10 @@ class GlobalSfMConfig:
     # sharded over a device mesh (``ba_mesh``). 0 = single global solve.
     ba_blocks: int = 0
     ba_sweeps: int = 3
+    # Use shared-track depth-ratio edge scales for translation recovery
+    # (sfm/edge_scales.py); falls back to direction-only averaging when
+    # fewer than half the edges receive a scale constraint.
+    edge_scale_translation: bool = True
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -99,62 +103,64 @@ def _translation_averaging_jit(ei: jnp.ndarray, ej: jnp.ndarray,
                                s_min: float = 1.0,
                                huber: float = 0.5) -> jnp.ndarray:
     """Camera centers from pairwise unit baseline directions — ONE device
-    program.
+    program, EXACT inner solve.
 
     Joint (c, s) least squares: minimize sum_e w_e ||c_j - c_i - s_e u_e||^2
     subject to c_0 = 0 (translation gauge) and the FIXED scale gauge
-    sum_e s_e = E, by monotone block-coordinate descent:
+    sum_e s_e = E. Eliminating each s_e in closed form under the gauge
+    (s_e = u_e . d_e - lam / w_e, lam = (sum u . d - E) / sum 1/w) reduces
+    the problem to an UNCONSTRAINED quadratic in c alone:
 
-      - s-update: constrained 1-D minimization per edge with one Lagrange
-        multiplier for the sum constraint (closed form);
-      - c-update: weighted graph-Laplacian solve given s;
-      - IRLS Huber reweighting between rounds (outlier edges).
+        sum_e w_e ||P_e (c_j - c_i)||^2
+            + (sum_e u_e . (c_j - c_i) - E)^2 / sum_e w_e^-1,
 
-    Design notes from the round-3 bisect of the 512-view ATE cliff:
-    the round-2 scheme re-pinned the median baseline INSIDE the descent
-    loop, which destroyed monotonicity (error grew ~0.5% of the scene
-    radius per 100 iterations on exact inputs); the Govindu-style
-    projected form (eliminate s, constrain sum u.(c_j-c_i)) is monotone
-    but exhibits the classic clustering collapse under direction noise
-    (measured: ring radius 11.7 recon vs 18 truth). The fixed-sum gauge
-    keeps every iteration a descent step on one fixed problem and
-    prevents global collapse.
+    with P_e = I - u u^T — the Govindu projected Laplacian PLUS a rank-one
+    total-length term that pins the scale (the projected form alone has the
+    classic clustering collapse; the round-3 block-coordinate scheme was
+    collapse-free but STALLS far from the optimum on chain-like graphs:
+    measured ATE 0.40 at 50 iters / 0.34 at 400 on EXACT directions of a
+    96-view boustrophedon sweep, vs ~1e-6 for this direct solve). One
+    (3n)x(3n) dense solve per IRLS round; ``iters`` counts Huber
+    reweighting rounds (a handful suffices).
     """
     E = ei.shape[0]
     dt = u_dirs.dtype
-    eye = jnp.eye(n, dtype=dt)
+    eye3 = jnp.eye(3, dtype=dt)
+    P = eye3[None] - u_dirs[:, :, None] * u_dirs[:, None, :]   # (E, 3, 3)
 
-    def c_update(s, w):
-        L = (jnp.zeros((n, n), dt)
-             .at[ei, ei].add(w).at[ej, ej].add(w)
-             .at[ei, ej].add(-w).at[ej, ei].add(-w))
-        L = L.at[0, :].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
-        su = (w * s)[:, None] * u_dirs
-        rhs = (jnp.zeros((n, 3), dt)
-               .at[ei].add(-su).at[ej].add(su)
-               .at[0].set(0.0))
-        return jnp.linalg.solve(L + 1e-9 * eye, rhs)
-
-    def s_update(c, w):
-        p = jnp.einsum("ed,ed->e", c[ej] - c[ei], u_dirs)
-        # min sum w_e (s_e - p_e)^2  s.t.  sum s = E:
-        # s_e = p_e - lam / w_e, lam = (sum p - E) / sum(1/w).
-        lam = (jnp.sum(p) - E) / jnp.sum(1.0 / w)
-        return p - lam / w
+    def solve(w):
+        wP = w[:, None, None] * P
+        L = (jnp.zeros((n, 3, n, 3), dt)
+             .at[ei, :, ei, :].add(wP).at[ej, :, ej, :].add(wP)
+             .at[ei, :, ej, :].add(-wP).at[ej, :, ei, :].add(-wP))
+        # Rank-one scale term: g = incidence-assembled directions.
+        g = (jnp.zeros((n, 3), dt).at[ei].add(-u_dirs).at[ej].add(u_dirs))
+        sw = jnp.sum(1.0 / jnp.maximum(w, 1e-9))
+        Lf = (L.reshape(3 * n, 3 * n)
+              + g.reshape(-1)[:, None] * g.reshape(-1)[None, :] / sw)
+        rhs = (E / sw) * g.reshape(-1)
+        # Gauge c_0 = 0: zero out the first block row/col, identity there.
+        mask = jnp.concatenate([jnp.zeros(3, dt), jnp.ones(3 * (n - 1), dt)])
+        Lf = (Lf * mask[:, None] * mask[None, :]
+              + jnp.diag(1.0 - mask))
+        rhs = rhs * mask
+        c = jnp.linalg.solve(
+            Lf + 1e-8 * jnp.eye(3 * n, dtype=dt), rhs)
+        return c.reshape(n, 3)
 
     def body(_, state):
-        c, s, w = state
-        c = c_update(s, w)
-        s = s_update(c, w)
-        r = c[ej] - c[ei] - s[:, None] * u_dirs
-        rn = jnp.linalg.norm(r, axis=1)
+        c, w = state
+        d = c[ej] - c[ei]
+        p = jnp.einsum("ed,ed->e", d, u_dirs)
+        lam = (jnp.sum(p) - E) / jnp.sum(1.0 / jnp.maximum(w, 1e-9))
+        s = p - lam / jnp.maximum(w, 1e-9)
+        rn = jnp.linalg.norm(d - s[:, None] * u_dirs, axis=1)
         w = jnp.minimum(1.0, huber / jnp.maximum(rn, 1e-9))
-        return c, s, w
+        return solve(w), w
 
-    s0 = jnp.ones((E,), dt)
-    w0 = jnp.ones((E,), dt)
-    c0 = c_update(s0, w0)
-    c, s, _ = jax.lax.fori_loop(0, iters, body, (c0, s0, w0))
+    c0 = solve(jnp.ones((E,), dt))
+    c, _ = jax.lax.fori_loop(0, min(iters, 6), body,
+                             (c0, jnp.ones((E,), dt)))
     # Metric gauge for callers: median baseline length = s_min.
     base = jnp.linalg.norm(c[ej] - c[ei], axis=1)
     med = jnp.median(base)
@@ -237,6 +243,7 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
     edges = []
     edge_R = []
     edge_t = []
+    edge_feats = []
     if config.pair_chunk > 0:
         # Batched pair stage: chunks of pairs as one vmapped program each.
         # The view axis is padded to a power-of-two bucket so the compiled
@@ -285,6 +292,7 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
                 edge_R.append(R[bi])
                 edge_t.append(t[bi] / max(np.linalg.norm(t[bi]), 1e-12))
                 sel = inl[bi]
+                edge_feats.append((arange[sel].copy(), j[bi][sel].copy()))
                 tracker.add_matches(a, b, arange[sel], j[bi][sel])
     else:
         mp = MatchParams(ratio=config.match_ratio)
@@ -305,6 +313,7 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
             edges.append((a, b))
             edge_R.append(np.asarray(R_rel))
             edge_t.append(np.asarray(t_rel) / max(np.linalg.norm(np.asarray(t_rel)), 1e-12))
+            edge_feats.append((np.asarray(m.i)[inl], np.asarray(m.j)[inl]))
             tracker.add_matches(a, b, np.asarray(m.i)[inl], np.asarray(m.j)[inl])
 
     _mark("pair_stage")
@@ -317,13 +326,32 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
     ej = jnp.asarray([e[1] for e in edges], jnp.int32)
     R_abs = np.asarray(average_rotations(V, ei, ej,
                                          jnp.asarray(np.stack(edge_R))))
+    R_avg_snapshot = R_abs.copy()
     _mark("rotation_averaging")
 
     # --- Stage 4: translation averaging. ---
     u_dirs = np.stack([-(R_abs[e[1]].T @ t) for e, t in zip(edges, edge_t)])
-    centers = _translation_averaging(V, edges, u_dirs,
-                                     iters=config.translation_iters)
+    # Per-edge baseline scales from shared-track depth ratios: direction-only
+    # averaging is rank-deficient on flexible graphs (straight camera rows —
+    # see sfm/edge_scales.py); with scales known the center solve is rigid.
+    from sara_tpu.sfm.edge_scales import (estimate_edge_scales,
+                                          solve_centers_fixed_scales)
+
+    scales = estimate_edge_scales(
+        edges, edge_R, edge_t, edge_feats,
+        [np.asarray(k.xy) for k in keypoint_sets], np.asarray(K))
+    covered = float(np.mean(scales != 1.0))
+    if config.edge_scale_translation and covered >= 0.5:
+        centers = solve_centers_fixed_scales(V, edges, u_dirs, scales)
+        base = np.linalg.norm(centers[[e[1] for e in edges]]
+                              - centers[[e[0] for e in edges]], axis=1)
+        med = np.median(base[base > 0]) if (base > 0).any() else 1.0
+        centers = centers / max(med, 1e-12)
+    else:
+        centers = _translation_averaging(V, edges, u_dirs,
+                                         iters=config.translation_iters)
     t_abs = np.stack([-R_abs[v] @ centers[v] for v in range(V)])
+    centers_avg = centers.copy()
     _mark("translation_averaging")
 
     # --- Stage 4b: pose-graph polish over the epipolar graph. ---
@@ -454,4 +482,12 @@ def run_global_sfm(keypoint_sets: List[Keypoints], K: np.ndarray,
         "ba_problem": prob,
         "ba_info": {k: np.asarray(v) for k, v in info.items()},
         "stage_times": stage_t,
+        # Stage diagnostics (probe_city_stages.py / probe_sfm_ate_stages.py).
+        "edges": edges,
+        "edge_R": edge_R,
+        "edge_t": edge_t,
+        "R_averaged": R_avg_snapshot,
+        "centers_averaged": centers_avg,
+        "centers_polished": np.stack(
+            [-R_abs[v].T @ t_abs[v] for v in range(V)]),
     }

@@ -33,119 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_city_scene(n_views: int, capacity: int = 384, pts_per_seg: int = 36,
-                    noise: float = 0.3, seed: int = 3):
-    """Boustrophedon sweep over a city grid: camera advances 1 unit/view
-    along rows of a grid, looking forward; structure lives in a band along
-    the streets, so VISIBILITY IS LOCAL (the regime map-block partitioning
-    targets) and adjacent rows create genuine loop pairs."""
-    import jax.numpy as jnp
-
-    from sara_tpu.core.types import Keypoints
-
-    rs = np.random.RandomState(seed)
-    # Path: straight street rows joined by SMOOTH turn arcs (consecutive
-    # views always overlap — {0, pi}-only headings both fragment the
-    # epipolar graph at row ends and form a degenerate rotation subgroup
-    # that breaks spectral rotation averaging).
-    turn_views = 8
-    row_len = max(8, int(np.ceil(n_views / np.sqrt(n_views))) )
-    centers, yaws, pitches = [], [], []
-    pos = np.array([0.0, 0.0, 0.0])
-    heading = 0.0          # yaw; camera walks along its heading direction
-    f = 0
-    while f < n_views:
-        # one straight row
-        for _ in range(row_len):
-            if f >= n_views:
-                break
-            d = np.array([np.sin(heading), 0.0, np.cos(heading)])
-            pos = pos + d
-            centers.append(pos.copy())
-            yaws.append(heading + 0.1 * np.sin(0.7 * f))
-            pitches.append(0.1 * np.sin(0.41 * f + 1.0))
-            f += 1
-        # turn 180 deg over turn_views while advancing laterally
-        for k in range(turn_views):
-            if f >= n_views:
-                break
-            heading += np.pi / turn_views
-            d = np.array([np.sin(heading), 0.0, np.cos(heading)])
-            pos = pos + 0.8 * d
-            centers.append(pos.copy())
-            yaws.append(heading)
-            pitches.append(0.1 * np.sin(0.41 * f + 1.0))
-            f += 1
-    centers = np.asarray(centers)
-
-    # Structure: facade points ahead of each view IN ITS HEADING FRAME, so
-    # every view (including turns) sees structure and neighbors share it.
-    X = []
-    for f in range(n_views):
-        yaw = yaws[f]
-        d = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
-        side = np.array([np.cos(yaw), 0.0, -np.sin(yaw)])
-        local = np.stack([
-            rs.uniform(-4, 4, pts_per_seg),
-            rs.uniform(-2.5, 2.5, pts_per_seg),
-            rs.uniform(2.0, 14.0, pts_per_seg),
-        ], axis=1)
-        pts = (centers[f][None] + local[:, 2:3] * d[None]
-               + local[:, 0:1] * side[None]
-               + local[:, 1:2] * np.array([0.0, 1.0, 0.0])[None])
-        X.append(pts)
-    X = np.concatenate(X)
-    desc = rs.normal(size=(len(X), 128))
-    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
-    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1.0]])
-
-    kps = []
-    for f in range(n_views):
-        yaw, pit = yaws[f], pitches[f]
-        Ry = np.array([[np.cos(yaw), 0, -np.sin(yaw)], [0, 1, 0],
-                       [np.sin(yaw), 0, np.cos(yaw)]])
-        Rx = np.array([[1, 0, 0], [0, np.cos(pit), -np.sin(pit)],
-                       [0, np.sin(pit), np.cos(pit)]])
-        R = Rx @ Ry
-        t = -R @ centers[f]
-        Xc = X @ R.T + t
-        vis = (Xc[:, 2] > 1.0) & (Xc[:, 2] < 16.0)
-        uv = Xc @ K.T
-        uv = uv[:, :2] / np.where(vis, Xc[:, 2], 1.0)[:, None]
-        inside = ((uv[:, 0] >= 0) & (uv[:, 0] < 640)
-                  & (uv[:, 1] >= 0) & (uv[:, 1] < 480))
-        idx = np.nonzero(vis & inside)[0][:capacity]
-        n = len(idx)
-        xy = np.zeros((capacity, 2), np.float32)
-        xy[:n] = uv[idx] + rs.normal(scale=noise, size=(n, 2))
-        d = np.zeros((capacity, 128), np.float32)
-        d[:n] = desc[idx]
-        mask = np.zeros(capacity, bool)
-        mask[:n] = True
-        kps.append(Keypoints(
-            xy=jnp.asarray(xy),
-            scale=jnp.asarray(np.full(capacity, 2.0, np.float32)),
-            orientation=jnp.asarray(np.zeros(capacity, np.float32)),
-            response=jnp.asarray(mask.astype(np.float32)),
-            descriptors=jnp.asarray(d),
-            mask=jnp.asarray(mask)))
-    return kps, centers, K
-
-
-def proximity_pairs(centers, window: int = 3, radius: float = 7.0,
-                    gap: int = 12, max_loop_per_view: int = 2):
-    """Sequential window pairs + loop pairs between spatially close,
-    temporally distant views (stand-in for retrieval)."""
-    V = len(centers)
-    pairs = []
-    for i in range(V):
-        for j in range(i + 1, min(i + 1 + window, V)):
-            pairs.append((i, j))
-        d = np.linalg.norm(centers[i + gap:] - centers[i], axis=1)
-        close = np.nonzero(d < radius)[0][:max_loop_per_view]
-        for c in close:
-            pairs.append((i, i + gap + int(c)))
-    return sorted(set(pairs))
+from bench_city_scale_scene import make_city_scene, proximity_pairs  # noqa: E402
 
 
 def main():
@@ -196,33 +84,15 @@ def main():
     for k, v in out.get("stage_times", {}).items():
         log(f"  stage {k}: {v:.2f}s")
 
-    # Same-process mesh-scaling curve for the partitioned-BA stage (virtual
-    # CPU mesh = thread-level proxy; structure, not chip speed).
-    from sara_tpu.ba.partitioned import partitioned_bundle_adjust
-    from sara_tpu.sfm import global_sfm as gsfm  # noqa: F401
-
-    scaling = {}
-    prob = out.get("ba_problem")
-    if prob is not None:
-        base = None
-        for n in (1, 2, 4, 8):
-            m = make_mesh(n, axis="block") if n > 1 else None
-            t0 = time.perf_counter()
-            partitioned_bundle_adjust(prob, args.ba_blocks,
-                                      BAOptions(max_iters=args.ba_iters),
-                                      sweeps=1, mesh=m)
-            dt = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            partitioned_bundle_adjust(prob, args.ba_blocks,
-                                      BAOptions(max_iters=args.ba_iters),
-                                      sweeps=1, mesh=m)
-            dt = time.perf_counter() - t0
-            base = base or dt
-            scaling[n] = {"s": round(dt, 2),
-                          "speedup": round(base / dt, 2),
-                          "efficiency": round(base / dt / n, 3)}
-            log(f"  partitioned BA mesh n={n}: {dt:.2f}s "
-                f"speedup {base/dt:.2f}x eff {base/dt/n*100:.0f}%")
+    # NOTE: no wall-clock "mesh scaling curve" is recorded on purpose. The
+    # virtual CPU mesh time-shares one host's cores (each "device" is a
+    # thread pool competing for the same silicon), so sharded wall clock
+    # measures thread contention, not the design (measured round 4:
+    # n=4/n=8 SLOWER than n=1). What the artifact demonstrates instead:
+    # the partitioned path RUNS sharded over the 8-device mesh (the main
+    # pipeline above + the driver dryrun), and the comm-model projection
+    # below quantifies multi-chip efficiency from the measured per-block
+    # compute and the O(C*6) boundary exchange.
 
     # Comm-model projection to real (hosts x chips) hardware: per-sweep
     # per-block compute is observation-proportional; the only cross-block
@@ -254,7 +124,7 @@ def main():
         "edges": int(out["num_edges"]),
         "ba_blocks": args.ba_blocks,
         "ba_sweeps": args.ba_sweeps,
-        "mesh_scaling_virtual_cpu": scaling,
+        "mesh_devices": args.mesh,
         "projected_2x4_efficiency": round(proj_eff, 3),
         "note": ("virtual 8-device CPU mesh (thread-level proxy); "
                  "comm structure is hardware-faithful: zero cross-block "
