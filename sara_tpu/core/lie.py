@@ -236,3 +236,46 @@ def matrix_to_ypr(R: jnp.ndarray):
     pitch = jnp.arcsin(jnp.clip(-R[..., 2, 0], -1.0, 1.0))
     roll = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
     return yaw, pitch, roll
+
+
+# ---------------------------------------------------------------------------
+# RQ factorization + projection-matrix decomposition
+# (reference: Core/Math/RQFactorization.hpp — the standard K, R extraction
+# from a 3x4 camera projection matrix, Hartley-Zisserman §6.2.4).
+# ---------------------------------------------------------------------------
+
+def rq_factorization(A: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Factor A = R @ Q with R upper triangular (positive diagonal) and Q
+    orthogonal, via the flipped-QR identity. Batched over leading dims.
+    """
+    n = A.shape[-1]
+    flip = jnp.eye(n, dtype=A.dtype)[::-1]
+    # QR of (flip A).T gives A = (flip R0.T flip) (flip Q0.T): upper-tri x orth.
+    q0, r0 = jnp.linalg.qr(jnp.swapaxes(flip @ A, -1, -2))
+    R = flip @ jnp.swapaxes(r0, -1, -2) @ flip
+    Q = flip @ jnp.swapaxes(q0, -1, -2)
+    # Normalize signs so diag(R) > 0 (absorb the sign flips into Q).
+    d = jnp.diagonal(R, axis1=-2, axis2=-1)
+    s = jnp.where(d < 0, -1.0, 1.0).astype(A.dtype)
+    R = R * s[..., None, :]
+    Q = Q * s[..., :, None]
+    return R, Q
+
+
+def decompose_projection_matrix(
+    P: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Split a 3x4 projection P ~ K [R | t] into (K, R, t).
+
+    K is upper triangular with positive diagonal and K[2,2] == 1; R is a
+    proper rotation (det +1). Batched over leading dims.
+    """
+    # P is projective: fix the overall sign so det(M) > 0, which (with the
+    # diag(K) > 0 convention, det(K) > 0) forces det(Q) = +1 in the RQ split.
+    M = P[..., :, :3]
+    sign = jnp.where(jnp.linalg.det(M) < 0, -1.0, 1.0).astype(P.dtype)
+    P = P * sign[..., None, None]
+    K, R = rq_factorization(P[..., :, :3])
+    t = jnp.linalg.solve(K, P[..., :, 3])
+    K = K / K[..., 2:3, 2:3]
+    return K, R, t

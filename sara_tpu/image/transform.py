@@ -59,6 +59,12 @@ def downscale2(image: jnp.ndarray) -> jnp.ndarray:
 
     if jax.default_backend() != "tpu" or image.ndim != 2:
         return image[..., ::2, ::2]
+    return _downscale2_matmul(image)
+
+
+def _downscale2_matmul(image: jnp.ndarray) -> jnp.ndarray:
+    """Selection-matrix form of ``image[::2, ::2]`` (the TPU path); exposed
+    separately so CPU tests can check bit-exactness vs the strided slice."""
     H, W = image.shape
     Ho, Wo = -(-H // 2), -(-W // 2)
     sel_h = jnp.zeros((Ho, H), image.dtype).at[jnp.arange(Ho),

@@ -12,11 +12,41 @@ from __future__ import annotations
 import numpy as np
 
 
+def supported_formats() -> dict[str, bool]:
+    """Codec availability for the reference's ImageIO format set
+    (reference: ImageIO/Details/Heif.cpp, WebP.cpp). HEIF needs the optional
+    ``pillow_heif`` plugin; when absent, .heic/.heif reads raise with a clear
+    message instead of PIL's generic "cannot identify image file".
+    """
+    from PIL import features
+
+    heif = False
+    try:  # registers HEIF with PIL as a side effect when present
+        import pillow_heif  # noqa: F401
+
+        pillow_heif.register_heif_opener()
+        heif = True
+    except ImportError:
+        pass
+    return {
+        "jpeg": features.check("jpg"),
+        "png": features.check("zlib"),
+        "tiff": True,  # PIL core
+        "webp": features.check("webp"),
+        "heif": heif,
+    }
+
+
 def imread(path: str, apply_exif: bool = True) -> np.ndarray:
     """Read an image as uint8 RGB (H, W, 3) (grayscale -> (H, W))."""
     import PIL.Image
     from PIL import ImageOps
 
+    if str(path).lower().endswith((".heic", ".heif")):
+        if not supported_formats()["heif"]:
+            raise RuntimeError(
+                "HEIF support requires the optional 'pillow_heif' package"
+            )
     img = PIL.Image.open(path)
     if apply_exif:
         img = ImageOps.exif_transpose(img)
@@ -38,10 +68,12 @@ def imread_gray(path: str, scale: float | None = None) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
-def imwrite(path: str, image: np.ndarray):
+def imwrite(path: str, image: np.ndarray, **save_kwargs):
+    """Write an image; codec picked from the extension. Extra keyword args go
+    to the encoder (e.g. ``quality=95``, ``lossless=True`` for WebP)."""
     import PIL.Image
 
     a = np.asarray(image)
     if a.dtype != np.uint8:
         a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
-    PIL.Image.fromarray(a).save(path)
+    PIL.Image.fromarray(a).save(path, **save_kwargs)

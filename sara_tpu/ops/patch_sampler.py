@@ -243,6 +243,21 @@ def _sample_patches_packed(maps, s_idx, ys, xs, PH: int, PWc: int, BK: int,
     return out[:K]
 
 
+# Budget for the double-buffered patch scratch. TPU VMEM is ~16 MB/core and
+# must also hold the (BK, N) weight blocks, the (BK, N, Cp) output block and
+# Mosaic's own working set — cap the scratch well below the physical size so
+# oversized geometries fall back to XLA gathers instead of failing at Mosaic
+# compile time (advisor finding, round 4).
+_VMEM_SCRATCH_BUDGET = 8 * 1024 * 1024
+
+
+def _fit_block(block: int, per_patch_bytes: int) -> int:
+    """Largest BK <= block whose double-buffered scratch fits the budget
+    (0 if even BK=1 does not fit)."""
+    bk = min(block, max(0, _VMEM_SCRATCH_BUDGET // (2 * per_patch_bytes)))
+    return int(bk)
+
+
 def patch_extent(max_sample_radius: float) -> int:
     """Smallest supported square patch side covering samples within
     ``max_sample_radius`` map pixels of the patch center (+1 px bilinear
@@ -283,16 +298,22 @@ def sample_field_patches(maps: jnp.ndarray, s_idx: jnp.ndarray,
     # relayout lowered to a ~340 ms/frame gather-class fusion (traced).
     # The packed kernel stays available for a caller that produces packed
     # maps natively.
+    itemsize = jnp.dtype(maps.dtype).itemsize
     if pack_x and 2 * C <= 128 and W % 16 == 0:
         PWc = -(-(side // 2 + 8) // 8) * 8   # 8-aligned cell width
-        if H >= side and W // 2 >= PWc:
+        bk = _fit_block(block, side * PWc * 128 * itemsize)
+        if H >= side and W // 2 >= PWc and bk > 0:
             return _sample_patches_packed(
                 maps, s_idx.astype(jnp.int32), ys, xs,
-                PH=side, PWc=PWc, BK=block, interpret=interpret)
+                PH=side, PWc=PWc, BK=bk, interpret=interpret)
     # W % 8 == 0 keeps the aligned x-origin clip exact (all the octave map
     # widths of pow2-friendly inputs satisfy it; others fall back).
     if H < side or W < side + 8 or W % 8 != 0:
         return None
+    Cp = -(-C // 128) * 128
+    bk = _fit_block(block, side * (side + 8) * Cp * itemsize)
+    if bk == 0:
+        return None
     return _sample_patches(maps, s_idx.astype(jnp.int32), ys, xs,
-                           PH=side, PW=side + 8, BK=block,
+                           PH=side, PW=side + 8, BK=bk,
                            interpret=interpret)

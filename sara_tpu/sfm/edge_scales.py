@@ -89,15 +89,18 @@ def estimate_edge_scales(edges: Sequence[Tuple[int, int]],
 
     # 2. pairwise log-ratio samples -> per-edge-pair medians.
     samples: dict = {}
+    # Pair CONSECUTIVE observations (a chain) rather than all-vs-obs[0]:
+    # every edge pair along the chain contributes a constraint and no single
+    # (possibly outlier) base observation contaminates all of a feature's
+    # samples (advisor finding, round 4).
     for obs in per_vf.values():
         if len(obs) < 2:
             continue
-        base_e, base_lz = obs[0]
-        for e2, lz2 in obs[1:]:
-            if e2 == base_e:
+        for (e1, lz1), (e2, lz2) in zip(obs, obs[1:]):
+            if e1 == e2:
                 continue
-            key = (base_e, e2) if base_e < e2 else (e2, base_e)
-            d = (lz2 - base_lz) if base_e < e2 else (base_lz - lz2)
+            key = (e1, e2) if e1 < e2 else (e2, e1)
+            d = (lz2 - lz1) if e1 < e2 else (lz1 - lz2)
             samples.setdefault(key, []).append(d)
 
     pair_i, pair_j, pair_d, pair_w = [], [], [], []

@@ -44,8 +44,10 @@ class GlobalSfMConfig:
     rel_pose_threshold_px: float = 4.0
     min_pair_inliers: int = 30
     # IRLS rounds of the projected translation-averaging solve; each round
-    # is an exact bordered-KKT solve given the weights, so ~8 suffices.
-    translation_iters: int = 8
+    # is an exact dense (3n)x(3n) solve given the weights, so ~6 suffices.
+    # Cost/memory scale O((3n)^2) per round — fine to ~1k views; beyond
+    # that prefer the sparse CG path in sfm/edge_scales.py-style solvers.
+    translation_iters: int = 6
     # LM pose-graph refinement over the epipolar graph between averaging
     # and triangulation (edge translations re-scaled by the averaged
     # baselines): polishes the averaging initialization jointly before
@@ -159,8 +161,7 @@ def _translation_averaging_jit(ei: jnp.ndarray, ej: jnp.ndarray,
         return solve(w), w
 
     c0 = solve(jnp.ones((E,), dt))
-    c, _ = jax.lax.fori_loop(0, min(iters, 6), body,
-                             (c0, jnp.ones((E,), dt)))
+    c, _ = jax.lax.fori_loop(0, iters, body, (c0, jnp.ones((E,), dt)))
     # Metric gauge for callers: median baseline length = s_min.
     base = jnp.linalg.norm(c[ej] - c[ei], axis=1)
     med = jnp.median(base)

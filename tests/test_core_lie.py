@@ -84,3 +84,27 @@ def test_vmap_jit():
     f = jax.jit(jax.vmap(lie.so3_exp))
     w = jnp.ones((4, 3)) * 0.1
     assert f(w).shape == (4, 3, 3)
+
+
+def test_rq_factorization(rng):
+    A = jnp.asarray(rng.normal(size=(5, 3, 3)))
+    R, Q = lie.rq_factorization(A)
+    np.testing.assert_allclose(np.asarray(R @ Q), np.asarray(A), atol=1e-10)
+    QQt = np.asarray(Q @ jnp.swapaxes(Q, -1, -2))
+    np.testing.assert_allclose(QQt, np.broadcast_to(np.eye(3), (5, 3, 3)), atol=1e-10)
+    Rn = np.asarray(R)
+    assert (np.diagonal(Rn, axis1=-2, axis2=-1) > 0).all()
+    assert np.allclose(Rn[:, np.tril_indices(3, -1)[0], np.tril_indices(3, -1)[1]], 0, atol=1e-10)
+
+
+def test_decompose_projection_matrix(rng):
+    K = np.array([[800.0, 1.5, 320.0], [0, 790.0, 240.0], [0, 0, 1.0]])
+    for s in (1.0, -2.5, 0.3):
+        R = np.asarray(lie.rotation_ypr(0.4, -0.3, 1.1))
+        t = rng.normal(size=3)
+        P = s * (K @ np.concatenate([R, t[:, None]], axis=1))
+        K2, R2, t2 = lie.decompose_projection_matrix(jnp.asarray(P))
+        np.testing.assert_allclose(np.asarray(K2), K, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(R2), R, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(t2), t, atol=1e-6)
+        assert float(jnp.linalg.det(R2)) > 0

@@ -181,3 +181,16 @@ def test_band_matrix_matches_separable_conv():
     Bh = band_matrix(ky[::-1], img.shape[0], 1)
     got = Bh.T.astype(np.float64) @ img @ Bw.astype(np.float64)
     assert np.abs(got - ref).max() < 1e-6
+
+
+def test_downscale2_matmul_bit_exact(rng):
+    # The TPU selection-matmul path must be BIT-exact vs the strided slice
+    # (each output element sums exactly one x*1.0 product).
+    from sara_tpu.image.transform import _downscale2_matmul
+
+    for shape in ((17, 23), (480, 640), (31, 32)):
+        img = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = np.asarray(img[::2, ::2])
+        out = np.asarray(_downscale2_matmul(img))
+        assert out.shape == ref.shape
+        assert (out == ref).all()

@@ -197,3 +197,27 @@ def test_nuscenes_annotations_and_projection(tmp_path):
     uv = boxes[0]["uv"]
     assert abs(uv[0] - (1000 * 2.0 / 10 + 800)) < 1e-6
     assert abs(boxes[0]["depth"] - 10.0) < 1e-9
+
+
+def test_webp_heif_formats(tmp_path, rng):
+    import pytest
+    from sara_tpu.io.image import imread, imwrite, supported_formats
+
+    fmts = supported_formats()
+    assert fmts["jpeg"] and fmts["png"]
+    img = (rng.uniform(size=(32, 48, 3)) * 255).astype("uint8")
+    if fmts["webp"]:
+        p = str(tmp_path / "x.webp")
+        imwrite(p, img, lossless=True)
+        back = imread(p)
+        assert back.shape == img.shape
+        assert (back == img).all()
+    else:  # pragma: no cover - PIL is built with webp in CI images
+        pytest.skip("PIL lacks WebP")
+    if fmts["heif"]:  # pragma: no cover - needs optional pillow_heif
+        p = str(tmp_path / "x.heic")
+        imwrite(p, img)
+        assert imread(p).shape == img.shape
+    else:
+        with pytest.raises(RuntimeError, match="pillow_heif"):
+            imread(str(tmp_path / "missing.heic"))
