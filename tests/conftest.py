@@ -22,6 +22,19 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Keep the one-shot full-suite run alive: XLA:CPU's in-process JIT
+    segfaults inside backend_compile once the process has accumulated a
+    few GB of live compiled executables (~220 tests in; LLVM ORC JIT
+    relocation-overflow class — reproduced twice in round 4, stack always
+    in compiler.py backend_compile_and_load). Dropping JAX's executable
+    caches after every module bounds the live JIT footprint; modules
+    recompile their own programs anyway, so the overhead is small."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     # Function-scoped: a session-scoped generator made every test's data
