@@ -52,13 +52,22 @@ def make_room(seed=0, tex_size=512):
     return planes
 
 
-def render(planes, K, R, t, hw=(240, 320)):
-    """Render the scene from camera (R, t) (world->cam). Returns (H, W)."""
+def render(planes, K, R, t, hw=(240, 320), rays_cam=None):
+    """Render the scene from camera (R, t) (world->cam). Returns (H, W).
+
+    ``rays_cam`` (H*W, 3) overrides the pinhole ray grid — pass the
+    backprojection of a distorted camera model (e.g. Brown-Conrady) to
+    render THROUGH the distortion, mirroring how the reference's VO demos
+    consume distorted phone video before ImageDistortionCorrector.
+    """
     H, W = hw
-    Ki = np.linalg.inv(K)
-    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
-    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).reshape(-1, 3)
-    rays_cam = pix @ Ki.T
+    if rays_cam is None:
+        Ki = np.linalg.inv(K)
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+        pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1).reshape(-1, 3)
+        rays_cam = pix @ Ki.T
+    else:
+        rays_cam = np.asarray(rays_cam, np.float64).reshape(-1, 3)
     Rw = R.T
     rays_w = rays_cam @ Rw.T          # directions in world frame
     cam_center = -Rw @ t
