@@ -515,6 +515,70 @@ def _lm_loop(strata, opts, Qs, allreduce):
     return poses_f, points_f, info
 
 
+class DenseSchurSession:
+    """Device-resident dense-Schur BA: pack ONCE, solve repeatedly.
+
+    ``bundle_adjust`` re-packs the point-major layout on the host and
+    re-ships every array to the device on EVERY call; on this runtime's
+    ~30 MB/s host->device tunnel that costs ~4x the solver itself at
+    C=256/O=800k (BA_BENCH_r4.json: 2.7 vs 11.2 LM iters/s; real PCIe
+    moves it in ~2 ms, but the principle stands — the observation layout
+    is static across LM restarts and should live on device). The session
+    keeps the packed strata device-resident; ``solve`` optionally swaps in
+    new pose/point VALUES (tiny (C,6) upload + device-side gathers into
+    the strata layout) without touching the layout arrays.
+
+    Mirrors the persistent-solver-state idiom of Ceres' Problem object
+    (reference: cpp/src/DO/Sara/SfM/BuildingBlocks/BundleAdjuster.cpp:
+    184-226 builds the problem once and iterates in place).
+    """
+
+    def __init__(self, p, opts):
+        self.opts = opts
+        strata, id_lists, stats = pack_pt_major_strata(p, chunk=opts.dense_chunk)
+        self.stats = stats
+        self.strata = tuple(strata)
+        self.Qs = tuple(stats["chunks"])
+        self._P = int(p.points.shape[0])
+        # Device-resident stratum->global point ids (for value refresh and
+        # final unpack scatter, both on device).
+        self._ids = [jnp.asarray(ids.astype(np.int32)) for ids in id_lists]
+
+    @property
+    def eligible(self) -> bool:
+        return dense_eligible(self.stats, self.opts)
+
+    def solve(self, poses=None, points=None, opts=None):
+        """Run the LM program on the resident problem. ``poses`` (C, 6) and
+        ``points`` (P, 3) override the resident VALUES (layout unchanged).
+        Returns (poses, points (P, 3), info)."""
+        opts = opts or self.opts
+        if poses is not None or points is not None:
+            new = []
+            for ptm, ids in zip(self.strata, self._ids):
+                if poses is not None:
+                    ptm = ptm._replace(poses=jnp.asarray(poses))
+                if points is not None:
+                    pts = jnp.asarray(points)[ids]          # device gather
+                    pad = ptm.points.shape[0] - pts.shape[0]
+                    if pad:
+                        pts = jnp.concatenate(
+                            [pts, jnp.zeros((pad, 3), pts.dtype)])
+                    ptm = ptm._replace(points=pts)
+                new.append(ptm)
+            self.strata = tuple(new)
+        poses_f, points_t, info = dense_schur_bundle_adjust_strata(
+            self.strata, opts, self.Qs)
+        # Keep the solution resident so chained solves continue from it.
+        self.strata = tuple(
+            ptm._replace(poses=poses_f, points=pts)
+            for ptm, pts in zip(self.strata, points_t))
+        pts_full = jnp.zeros((self._P, 3), poses_f.dtype)
+        for ids, pnew in zip(self._ids, points_t):
+            pts_full = pts_full.at[ids].set(pnew[:ids.shape[0]])
+        return poses_f, pts_full, info
+
+
 def dense_schur_bundle_adjust_sharded(ptm: PtMajorBA, mesh, opts, Q: int,
                                       axis: str = "shard"):
     """Distributed dense-Schur BA: points AND their observations are

@@ -410,3 +410,44 @@ def test_partitioned_ba_on_mesh():
                                      mesh=mesh)
     np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
                                atol=1e-8)
+
+
+def test_dense_schur_session_matches_one_shot():
+    """DenseSchurSession (device-resident pack-once path) reproduces the
+    one-shot bundle_adjust dense result, and a value-refreshed re-solve
+    equals re-packing from scratch."""
+    from sara_tpu.ba import DenseSchurSession
+
+    prob, *_ = _make_ba_problem(n_cams=6, n_pts=80, seed=3)
+    opts = BAOptions(max_iters=8, solver="dense")
+
+    out, info = bundle_adjust(prob, opts)
+    sess = DenseSchurSession(prob, opts)
+    assert sess.eligible
+    poses_s, points_s, info_s = sess.solve()
+    np.testing.assert_allclose(np.asarray(poses_s), np.asarray(out.poses),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(points_s), np.asarray(out.points),
+                               rtol=0, atol=1e-9)
+    assert float(info_s["final_cost"]) == float(info["final_cost"])
+
+    # Refresh with perturbed values; must equal a fresh pack of the same
+    # problem with those values.
+    rs = np.random.RandomState(7)
+    poses2 = np.asarray(prob.poses) + np.concatenate(
+        [np.zeros((1, 6)), rs.normal(scale=1e-3, size=(prob.poses.shape[0] - 1, 6))])
+    points2 = np.asarray(prob.points) + rs.normal(scale=1e-2,
+                                                  size=prob.points.shape)
+    poses_r, points_r, info_r = sess.solve(poses=jnp.asarray(poses2),
+                                           points=jnp.asarray(points2))
+    prob2 = prob._replace(poses=jnp.asarray(poses2),
+                          points=jnp.asarray(points2))
+    out2, info2 = bundle_adjust(prob2, opts)
+    np.testing.assert_allclose(np.asarray(poses_r), np.asarray(out2.poses),
+                               rtol=0, atol=1e-9)
+    assert float(info_r["final_cost"]) == float(info2["final_cost"])
+
+    # Chained solve (no value override) continues from the resident
+    # solution rather than the initial one.
+    _, _, info_c = sess.solve()
+    assert float(info_c["initial_cost"]) <= float(info_r["final_cost"]) + 1e-6
