@@ -46,6 +46,16 @@ class LoopClosureConfig:
     edge_outlier_cutoff: float = 6.0
     # VLAD retrieval codebook size (0 falls back to mean-descriptor).
     vlad_k: int = 16
+    # METRIC loop edges: matched features of the loop CANDIDATE frame that
+    # carry scene points let the current frame be PnP-localized against the
+    # candidate's (old, low-drift) map section — a loop edge with MEASURED
+    # translation scale. The E-only fallback scales its unit translation by
+    # the current drifted baseline, which bakes the drift into the edge
+    # measurement (round-4 full-res closure was exactly neutral for this
+    # reason: both edge components agreed with the drifted graph).
+    min_metric_points: int = 30
+    metric_pnp_samples: int = 500
+    metric_pnp_threshold_px: float = 5.0
 
 
 def global_descriptor(kp) -> np.ndarray:
@@ -79,6 +89,25 @@ def vlad_signature(kp, codebook: np.ndarray) -> np.ndarray:
     # Power-law (signed sqrt) + L2 normalization (standard VLAD recipe).
     v = np.sign(v) * np.sqrt(np.abs(v))
     return v / max(np.linalg.norm(v), 1e-12)
+
+
+@jax.jit
+def _vlad_device(desc, mask, codebook):
+    """Jitted VLAD signature: one small device program + an 8 KB fetch per
+    frame instead of shipping the full (K, 128) descriptor block to the
+    host (2 MB/frame through this runtime's tunnel). Math mirrors
+    :func:`vlad_signature`."""
+    d = desc.astype(jnp.float32)
+    cb = codebook.astype(jnp.float32)
+    d2 = (jnp.sum(d * d, 1)[:, None] - 2.0 * d @ cb.T
+          + jnp.sum(cb * cb, 1)[None])
+    a = jnp.argmin(d2, axis=1)
+    oh = jax.nn.one_hot(a, cb.shape[0], dtype=jnp.float32) \
+        * mask[:, None].astype(jnp.float32)
+    v = oh.T @ d - jnp.sum(oh, axis=0)[:, None] * cb
+    v = v.reshape(-1)
+    v = jnp.sign(v) * jnp.sqrt(jnp.abs(v))
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
 
 
 def kmeans_codebook(descs: np.ndarray, k: int, iters: int = 8,
@@ -115,6 +144,7 @@ class LoopCloser:
         self.loop_edges: list[tuple] = []
         self._key = jax.random.PRNGKey(42)
         self._codebook: np.ndarray | None = None
+        self._codebook_dev = None
 
     def _signature(self, kp) -> np.ndarray:
         if self.cfg.vlad_k <= 0:
@@ -126,11 +156,15 @@ class LoopCloser:
             if len(d) < self.cfg.vlad_k:
                 return global_descriptor(kp)
             self._codebook = kmeans_codebook(d, self.cfg.vlad_k)
+            self._codebook_dev = jnp.asarray(self._codebook)
             # Re-signature any earlier frames (dimension consistency).
             # In place: add_frame holds a reference to this list.
-            self.signatures[:] = [vlad_signature(k2, self._codebook)
-                                  for k2 in self.keypoint_sets]
-        return vlad_signature(kp, self._codebook)
+            self.signatures[:] = [
+                np.asarray(_vlad_device(k2.descriptors, k2.mask,
+                                        self._codebook_dev))
+                for k2 in self.keypoint_sets]
+        return np.asarray(_vlad_device(kp.descriptors, kp.mask,
+                                       self._codebook_dev))
 
     def add_frame(self, kp):
         self.signatures.append(self._signature(kp))
@@ -164,16 +198,79 @@ class LoopCloser:
         return (np.asarray(R, float), t / max(np.linalg.norm(t), 1e-12),
                 int(res.num_inliers))
 
+    def verify_metric(self, pipeline, a: int, b: int):
+        """Metric loop edge a -> b: PnP of frame b against the scene points
+        attached to frame a's matched features. Unlike the E-based edge,
+        the translation carries a MEASURED scale (the old map section's),
+        so the edge constrains the drifted graph instead of restating it.
+        Returns (R_rel, t_rel_metric, n_inliers) or None."""
+        ka, kb = self.keypoint_sets[a], self.keypoint_sets[b]
+        m = match_descriptors(ka, kb, MatchParams(ratio=0.8))
+        mi, mj, mmask = jax.device_get((m.i, m.j, m.mask))
+        sel = np.flatnonzero(np.asarray(mmask))
+        if len(sel) < self.cfg.min_metric_points:
+            return None
+        tr = pipeline.tracker
+        if a >= len(pipeline.frames):
+            return None
+        fid_a = pipeline.frames[a]["tracker_id"]
+        ga = tr.global_id(fid_a, np.asarray(mi)[sel])
+        ta = tr.track_of_feature[ga]
+        ok = ta >= 0
+        reps = tr.rep_of_tracks(np.where(ok, ta, 0))
+        spt = pipeline.point_cloud.scene_point_of_track
+        idxs = np.fromiter(
+            (spt.get(int(r), -1) if o else -1 for r, o in zip(reps, ok)),
+            np.int64, len(reps))
+        has_pt = idxs >= 0
+        if int(has_pt.sum()) < self.cfg.min_metric_points:
+            return None
+        X = pipeline.point_cloud.points[idxs[has_pt]]
+        uv = np.asarray(kb.xy)[np.asarray(mj)[sel][has_pt]]
+        rays = pipeline._rays(uv)
+        cap = 1 << max(6, int(len(X) - 1).bit_length())
+        pad = cap - len(X)
+        pad3 = lambda arr: np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]) if pad else arr
+        mask = np.zeros(cap, bool)
+        mask[:len(X)] = True
+        from sara_tpu.ransac import estimate_absolute_pose
+
+        self._key, sub = jax.random.split(self._key)
+        res, R_b, t_b = estimate_absolute_pose(
+            sub, jnp.asarray(pad3(X)), jnp.asarray(pad3(rays)),
+            jnp.asarray(pad3(uv)), jnp.asarray(self.K), jnp.asarray(mask),
+            threshold_px=self.cfg.metric_pnp_threshold_px,
+            num_samples=self.cfg.metric_pnp_samples,
+            min_inliers=min(self.cfg.min_metric_points, len(X) // 2 + 1))
+        success, n_inl, R_b, t_b = jax.device_get(
+            (res.success, res.num_inliers, R_b, t_b))
+        if not bool(success):
+            return None
+        R_a, t_a = pipeline.pose_graph.pose(a)
+        R_b = np.asarray(R_b, float)
+        t_b = np.asarray(t_b, float)
+        R_rel = R_b @ np.asarray(R_a).T
+        t_rel = t_b - R_rel @ np.asarray(t_a)
+        return R_rel, t_rel, int(n_inl)
+
     def close(self, pipeline, frame_id: int) -> bool:
         """Try to close a loop at frame_id; on success optimize the pose
         graph in place. Returns True if a loop was applied."""
         applied = False
         for cand in self.detect(frame_id):
+            got = self.verify_metric(pipeline, cand, frame_id)
+            if got is not None:
+                R, t, n_inl = got
+                self.loop_edges.append(
+                    (cand, frame_id, R, t, n_inl, True))
+                applied = True
+                continue
             got = self.verify(cand, frame_id)
             if got is None:
                 continue
             R, t, n_inl = got
-            self.loop_edges.append((cand, frame_id, R, t, n_inl))
+            self.loop_edges.append((cand, frame_id, R, t, n_inl, False))
             applied = True
         if not applied:
             return False
@@ -196,23 +293,31 @@ class LoopCloser:
             edges_j.append(e.dst)
             rels.append(np.asarray(relative_pose_to_packing(R_rel, t_rel)))
             weights.append(np.ones(6))
-        for (a, b, R, t, n_inl) in self.loop_edges:
-            # Scale the unit loop translation with the current graph's
-            # baseline estimate (monocular scale is unobservable from E).
-            ca = pg.poses[a].center()
-            cb = pg.poses[b].center()
-            s = max(np.linalg.norm(cb - ca), 1e-6)
+        for (a, b, R, t, n_inl, metric) in self.loop_edges:
+            if metric:
+                # PnP-measured edge: translation scale is real — full
+                # translation information.
+                t_edge = t
+                trans_frac = 1.0
+            else:
+                # E-only fallback: scale the unit loop translation with
+                # the current graph's baseline estimate (monocular scale
+                # is unobservable from E) and discount its information.
+                ca = pg.poses[a].center()
+                cb = pg.poses[b].center()
+                s = max(np.linalg.norm(cb - ca), 1e-6)
+                t_edge = s * t
+                trans_frac = self.cfg.loop_trans_frac
             edges_i.append(a)
             edges_j.append(b)
-            rels.append(np.asarray(relative_pose_to_packing(R, s * t)))
-            # Information scales with the verified inlier count; the
-            # translation rows carry the guessed scale -> a fraction of the
-            # rotation information (VERDICT r3 weak #1: a flat scalar
-            # weight let one noisy edge outvote the odometry chain).
+            rels.append(np.asarray(relative_pose_to_packing(R, t_edge)))
+            # Information scales with the verified inlier count
+            # (VERDICT r3 weak #1: a flat scalar weight let one noisy edge
+            # outvote the odometry chain).
             w_rot = self.cfg.loop_weight * min(
                 1.0, n_inl / max(self.cfg.full_weight_inliers, 1))
             w = np.full(6, w_rot)
-            w[3:] *= self.cfg.loop_trans_frac
+            w[3:] *= trans_frac
             weights.append(w)
 
         prob = PoseGraphProblem(

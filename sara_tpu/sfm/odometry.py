@@ -196,6 +196,12 @@ class OdometryPipeline:
         # scene-point color sampling); only the newest frame's image is
         # retained.
         self._pending_image: Optional[np.ndarray] = None
+        # Called as on_accept(kp, vertex_id) after every ACCEPTED frame
+        # (device-resident Keypoints). Lets loop-closure retrieval ride the
+        # batched/pipelined path too: per-frame descriptors never leave the
+        # device (LoopCloser computes its VLAD signature in a jitted
+        # program and fetches 8 KB).
+        self.on_accept = None
 
     # -- helpers ------------------------------------------------------------
 
@@ -459,6 +465,8 @@ class OdometryPipeline:
             self._bundle_adjust()
             self._frames_since_ba = 0
         self._maybe_write_viewer()
+        if self.on_accept is not None:
+            self.on_accept(kp, v_id)
         return True
 
     def trajectory(self) -> np.ndarray:
@@ -514,6 +522,8 @@ class OdometryPipeline:
                             "image": self._pending_image})
         self._pending_image = None
         self._prev_keypoints = kp
+        if self.on_accept is not None:
+            self.on_accept(kp, 0)
 
     def _prep_pnp(self, fid: int, kp_host):
         """Host prep of the PnP inputs (track->scene-point association).

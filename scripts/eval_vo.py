@@ -73,9 +73,12 @@ def run_room(args):
     if args.pipelined:
         # Lookahead-pipelined loop (process_frames dispatches window k+1
         # while the host integrates window k — VERDICT r3 item 8). Loop
-        # closure needs per-frame descriptors, so this mode measures the
-        # steady-state throughput A/B; the per-frame mode below produces
-        # the closure artifact.
+        # closure rides the on_accept hook: retrieval signatures come from
+        # a jitted device program per accepted frame (8 KB fetch), so the
+        # pipelined path keeps full closure capability (round-5 change;
+        # round 4 disabled closure here).
+        if closer is not None:
+            pipe.on_accept = lambda kp, vid: closer.add_frame(kp)
         warm = min(12, len(imgs) // 4)
         ok += [bool(v) for v in pipe.process_frames(
             [jnp.asarray(im) for im in imgs[:warm]], list(range(warm)))]
