@@ -257,6 +257,9 @@ class LoopCloser:
     def close(self, pipeline, frame_id: int) -> bool:
         """Try to close a loop at frame_id; on success optimize the pose
         graph in place. Returns True if a loop was applied."""
+        from sara_tpu.utils.log import get_logger
+
+        log = get_logger("sara_tpu.loop")
         applied = False
         for cand in self.detect(frame_id):
             got = self.verify_metric(pipeline, cand, frame_id)
@@ -264,13 +267,18 @@ class LoopCloser:
                 R, t, n_inl = got
                 self.loop_edges.append(
                     (cand, frame_id, R, t, n_inl, True))
+                log.info("loop edge %d->%d METRIC (%d inliers)",
+                         cand, frame_id, n_inl)
                 applied = True
                 continue
             got = self.verify(cand, frame_id)
             if got is None:
+                log.info("loop candidate %d->%d rejected", cand, frame_id)
                 continue
             R, t, n_inl = got
             self.loop_edges.append((cand, frame_id, R, t, n_inl, False))
+            log.info("loop edge %d->%d E-only (%d inliers)",
+                     cand, frame_id, n_inl)
             applied = True
         if not applied:
             return False
@@ -329,7 +337,63 @@ class LoopCloser:
             edge_mask=jnp.ones(len(edges_i), bool),
             pose_fixed=jnp.asarray([True] + [False] * (n - 1)),
         )
+        # --- Consensus-gated robust threshold. Monocular scale drift makes
+        # GENUINE loop-edge residuals arbitrarily large in map units (a
+        # measured 100-frame room loop carried ~14-unit translation
+        # residuals from ~30% scale drift), so any fixed huber/trim
+        # threshold either drops the true edges (observed: closure became
+        # an exact no-op, gradient zero) or loses false-edge protection.
+        # Resolution: when >=2 loop edges onto the same frame AGREE with
+        # each other (their implied absolute poses cluster), raise the
+        # robust threshold to cover their common residual — mutually
+        # consistent verified edges are trustworthy regardless of how far
+        # the drifted graph sits. A single edge keeps the strict gate.
+        from collections import defaultdict
+
+        delta_eff = self.cfg.huber_delta
+        groups = defaultdict(list)
+        for (a, b, R, t, n_inl, metric) in self.loop_edges:
+            if not metric:
+                continue
+            Ra, ta = pg.pose(a)
+            Rb_g, tb_g = pg.pose(b)
+            t_b_meas = t + R @ np.asarray(ta)
+            t_rel_g = np.asarray(tb_g) - R @ np.asarray(ta)
+            resid = float(np.linalg.norm(t - t_rel_g))
+            groups[b].append((t_b_meas, resid))
+        for b, rows in groups.items():
+            if len(rows) < 2:
+                continue
+            tbs = np.stack([r[0] for r in rows])
+            resids = np.asarray([r[1] for r in rows])
+            spread = float(np.max(np.linalg.norm(
+                tbs[:, None] - tbs[None, :], axis=-1)))
+            if spread < max(0.3 * float(np.median(resids)), 1e-6) \
+                    or float(np.median(resids)) < self.cfg.huber_delta:
+                delta_eff = max(delta_eff, 1.2 * float(np.max(resids)))
+        # Round to 2 significant digits: huber_delta is a static jit arg
+        # and every distinct value costs a fresh compile.
+        delta_eff = float(f"{delta_eff:.2g}")
+        import os
+
+        if os.environ.get("SARA_DUMP_PG"):
+            np.savez(os.environ["SARA_DUMP_PG"],
+                     poses=np.asarray(prob.poses),
+                     edge_i=np.asarray(prob.edge_i),
+                     edge_j=np.asarray(prob.edge_j),
+                     rel_pose=np.asarray(prob.rel_pose),
+                     weight=np.asarray(prob.weight),
+                     edge_mask=np.asarray(prob.edge_mask),
+                     pose_fixed=np.asarray(prob.pose_fixed))
         out, info = optimize_pose_graph(
-            prob, max_iters=25, huber_delta=self.cfg.huber_delta,
+            prob, max_iters=25, huber_delta=delta_eff,
             outlier_cutoff=self.cfg.edge_outlier_cutoff)
-        pg.update_from_se3(np.asarray(out.poses))
+        new = np.asarray(out.poses)
+        from sara_tpu.utils.log import get_logger
+
+        get_logger("sara_tpu.loop").info(
+            "pose-graph opt: cost %.4f -> %.4f, max pose delta %.4f",
+            float(np.asarray(info.get("initial_cost", np.nan))),
+            float(np.asarray(info.get("final_cost", np.nan))),
+            float(np.max(np.abs(new - packed))))
+        pg.update_from_se3(new)

@@ -89,6 +89,15 @@ class OdometryConfig:
     ba_options: BAOptions = field(default_factory=lambda: BAOptions(max_iters=20))
     ba_window: int = 8            # poses in the BA window (0 = all)
     ba_every: int = 1             # run BA every k accepted frames
+    # Additionally re-adjust the FULL trajectory every k accepted frames
+    # (0 = never). Windowed BA freezes early poses once the window slides
+    # past them, locking in whatever error the monocular bootstrap drew —
+    # the round-5 seeded A/B measured ATE 0.03-0.20 across seeds from that
+    # draw alone (probe_ab_vo.py). A periodic full-graph pass (cheap under
+    # the dense-Schur solver; camera axis pow2-bucketed so programs are
+    # reused) keeps re-polishing the early segment as later evidence
+    # accumulates.
+    full_ba_every: int = 0
     min_track_length: int = 2
     frontend_batch: int = 4       # frames per fused frontend dispatch
     # Live visualization (the TPU-headless analog of the reference's
@@ -190,6 +199,7 @@ class OdometryPipeline:
         self.frames: list[dict] = []
         self._prev_keypoints: Optional[Keypoints] = None
         self._frames_since_ba = 0
+        self._frames_since_full_ba = 0
         self._accepted_since_viewer = 0
         self._key = jax.random.PRNGKey(0)
         # Original pixels of the frame currently being integrated (for
@@ -460,10 +470,15 @@ class OdometryPipeline:
         elif tri_prep is not None:
             self._triangulate_prepared(prev_frame, v_id, tri_prep)
         self._frames_since_ba += 1
+        self._frames_since_full_ba += 1
         if (len(self.pose_graph) >= 3
                 and self._frames_since_ba >= self.cfg.ba_every):
-            self._bundle_adjust()
+            full = (self.cfg.full_ba_every > 0
+                    and self._frames_since_full_ba >= self.cfg.full_ba_every)
+            self._bundle_adjust(window=0 if full else None)
             self._frames_since_ba = 0
+            if full:
+                self._frames_since_full_ba = 0
         self._maybe_write_viewer()
         if self.on_accept is not None:
             self.on_accept(kp, v_id)
@@ -652,12 +667,13 @@ class OdometryPipeline:
         return (np.repeat(px[:, None], 3, axis=1) if px.ndim == 1
                 else np.asarray(px)[:, :3])[keep]
 
-    def _bundle_adjust(self):
+    def _bundle_adjust(self, window=None):
         """Windowed BA over the latest poses (the reference adjusts the whole
         graph each frame, OdometryPipeline.cpp:315-422; windowing is the
-        scalable default here — set ba_window=0 for full-graph behavior)."""
+        scalable default here — set ba_window=0 for full-graph behavior).
+        ``window`` overrides the config for one call (full_ba_every)."""
         n_poses = len(self.pose_graph)
-        w = self.cfg.ba_window
+        w = self.cfg.ba_window if window is None else window
         start = 0 if w == 0 else max(0, n_poses - w)
         # Vectorized window packing. The round-2 version iterated EVERY
         # track in the session with per-track Python work (incl. a
@@ -700,15 +716,23 @@ class OdometryPipeline:
             return
 
         C = n_poses - start
+        # Bucket the camera axis too (pow2, frozen obs-less padding): a
+        # growing full-graph BA (ba_window=0 / full_ba_every) would
+        # otherwise compile a fresh program EVERY frame (~10 s each on the
+        # target runtime).
+        Cb = _bucket(C, 8)
         P = _bucket(len(pt_ids), 64)
         O = _bucket(len(obs_cam), 256)
         poses = self.pose_graph.poses_se3()[start:]
+        if Cb != C:
+            poses = np.concatenate([poses, np.zeros((Cb - C, 6))])
         # Monocular gauge (7 dof: similarity): fixing the first pose removes
         # 6; the global scale must be pinned explicitly or it drifts
         # window-to-window. Per-component freeze masks (ba.core accepts a
         # (C, 6) pose_fixed).
-        pose_fixed = np.zeros((C, 6), bool)
+        pose_fixed = np.zeros((Cb, 6), bool)
         pose_fixed[0] = True
+        pose_fixed[C:] = True
         if start == 0 and C >= 2:
             # Freeze the second camera's largest translation component
             # (not a fixed axis: the dominant motion direction is scene-
@@ -734,7 +758,7 @@ class OdometryPipeline:
             point_fixed=jnp.asarray(~_pad_to(np.ones(len(pt_ids), bool), P, False)),
         )
         out, info = bundle_adjust(prob, self.cfg.ba_options)
-        new_poses = np.asarray(out.poses)
+        new_poses = np.asarray(out.poses)[:C]
         packed = self.pose_graph.poses_se3()
         packed[start:] = new_poses
         self.pose_graph.update_from_se3(packed)

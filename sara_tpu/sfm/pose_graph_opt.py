@@ -71,21 +71,31 @@ def _edge_weights6(p: PoseGraphProblem):
 def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0,
                     outlier_cutoff: float = jnp.inf):
     """Total (optionally robust) edge cost. ``huber_delta`` > 0 applies the
-    TRIMMED Huber loss to each edge's weighted residual norm: linear growth
-    past delta, plateau past ``outlier_cutoff * delta`` — a grossly wrong
-    (false-loop) edge stops influencing the solution entirely, while a
-    true loop edge carrying honest drift still pulls."""
+    TRIMMED Huber loss per edge: linear growth past delta, plateau past
+    ``outlier_cutoff * delta`` — a grossly wrong (false-loop) edge stops
+    influencing the solution entirely, while a true loop edge carrying
+    honest drift still pulls.
+
+    The robust gate tests the UNWEIGHTED se(3) residual norm (measurement
+    units); the information weight scales the cost multiplicatively. Gating
+    on the weighted (Mahalanobis) norm with these heuristic trust weights
+    trimmed exactly the edges marked most trustworthy: a x10 loop edge hit
+    the plateau at 1/3.16 of the intended residual, the gradient vanished,
+    and closure became an exact no-op (round-5 root cause of the 'closure
+    fires and does nothing' rows)."""
     w6 = _edge_weights6(p)
 
     def one(i, j, m, w, valid):
         r = edge_residual(p.poses[i], p.poses[j], m)
         q = jnp.sum(w * r * r)
         if huber_delta > 0:
-            n = jnp.sqrt(jnp.maximum(q, 1e-24))
+            n = jnp.sqrt(jnp.maximum(jnp.sum(r * r), 1e-24))
+            wbar = jnp.sum(w) / 6.0
             q = jnp.where(n <= huber_delta, 0.5 * q,
-                          huber_delta * (n - 0.5 * huber_delta))
-            q = jnp.minimum(q, huber_delta * (outlier_cutoff * huber_delta
-                                              - 0.5 * huber_delta))
+                          wbar * huber_delta * (n - 0.5 * huber_delta))
+            q = jnp.minimum(q, wbar * huber_delta
+                            * (outlier_cutoff * huber_delta
+                               - 0.5 * huber_delta))
         else:
             q = 0.5 * q
         return jnp.where(valid, q, 0.0)
@@ -106,8 +116,11 @@ def _edge_jacobians(p: PoseGraphProblem, huber_delta: float = 0.0,
         Jj = jax.jacfwd(edge_residual, argnums=1)(pi, pj, m)
         sw = jnp.sqrt(w) * valid.astype(r.dtype)
         if huber_delta > 0:
-            # IRLS scaling of the whole edge by the (trimmed) robust weight.
-            n = jnp.sqrt(jnp.maximum(jnp.sum(w * r * r), 1e-24))
+            # IRLS scaling of the whole edge by the (trimmed) robust
+            # weight, gated on the UNWEIGHTED residual norm (see
+            # pose_graph_cost — Mahalanobis gating trimmed the
+            # highest-trust edges first).
+            n = jnp.sqrt(jnp.maximum(jnp.sum(r * r), 1e-24))
             rw = jnp.sqrt(jnp.minimum(1.0, huber_delta / n))
             rw = jnp.where(n > outlier_cutoff * huber_delta, 0.0, rw)
             sw = sw * rw

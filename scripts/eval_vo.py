@@ -61,7 +61,7 @@ def run_room(args):
 
     cfg = OdometryConfig(rel_pose_samples=300, pnp_samples=300,
                          rel_pose_min_inliers=40, pnp_min_inliers=15,
-                         ba_window=8)
+                         ba_window=8, full_ba_every=args.full_ba_every)
     pipe = OdometryPipeline(K, cfg)
     closer = (LoopCloser(K, LoopClosureConfig(
         min_gap=max(args.frames // 4, 15), min_inliers=40,
@@ -120,6 +120,7 @@ def run_room(args):
     artifact = {
         "config": "baseline-3-room-loop",
         "pipelined": bool(args.pipelined),
+        "full_ba_every": args.full_ba_every,
         "backend": jax.default_backend(),
         "frames": args.frames,
         "resolution": list(hw),
@@ -161,6 +162,10 @@ def main():
                     help="render the real-texture room loop (config 3)")
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--full-ba-every", type=int, default=8,
+                    help="periodic full-trajectory BA cadence (0 = off); "
+                    "bounds the monocular bootstrap-draw ATE variance "
+                    "(probe_ab_vo.py)")
     ap.add_argument("--out", default="eval_vo_room.json")
     args = ap.parse_args()
 

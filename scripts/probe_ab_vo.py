@@ -83,10 +83,12 @@ def main():
                 mcfg = dataclasses.replace(cfg, frontend_batch=1)
             elif mode == "per_frame_full":
                 mcfg = dataclasses.replace(cfg, rel_pose_samples_fast=0)
+            elif mode in ("batched_fullba", "per_frame_fullba"):
+                mcfg = dataclasses.replace(cfg, full_ba_every=8)
             pipe = OdometryPipeline(K, mcfg)
             pipe._key = jax.random.PRNGKey(1000 + seed)
             t0 = time.perf_counter()
-            if mode in ("per_frame", "per_frame_full"):
+            if mode in ("per_frame", "per_frame_full", "per_frame_fullba"):
                 ok = [bool(pipe.process_frame(jimgs[f], f))
                       for f in range(args.frames)]
             elif mode == "warm_then_batched":
