@@ -295,11 +295,16 @@ class OdometryPipeline:
         umap, vmap_ = (self.maps if undistort
                        else (jnp.zeros((1, 1)), jnp.zeros((1, 1))))
 
-        # The batched path has no per-frame retry (the per-frame path
-        # re-runs E-RANSAC at full strength on rejection), so it runs the
-        # FULL hypothesis budget up front — the batch amortizes the
-        # dispatch cost that motivated the fast pass.
-        n_full = self.cfg.rel_pose_samples
+        # Two-stage E-RANSAC applies in batch mode too: a frame whose
+        # fast-pass pose is rejected breaks the window chain, and the
+        # fallback (process_keypoints against the last accepted frame)
+        # already re-runs at full strength — the same retry semantics as
+        # the per-frame path, so the cheap first pass is safe here.
+        # (Round 4 ran the full budget; measured fast-pass failure rate on
+        # the room loop is ~0, and the fast pass saves ~60 ms/frame.)
+        n_full = (self.cfg.rel_pose_samples_fast
+                  if self.cfg.rel_pose_samples_fast > 0
+                  else self.cfg.rel_pose_samples)
 
         def dispatch(i, prev_kp):
             """Dispatch one window's fused frontend (async); returns the
@@ -667,11 +672,15 @@ class OdometryPipeline:
         return (np.repeat(px[:, None], 3, axis=1) if px.ndim == 1
                 else np.asarray(px)[:, :3])[keep]
 
-    def _bundle_adjust(self, window=None):
+    def _bundle_adjust(self, window=None, pin=()):
         """Windowed BA over the latest poses (the reference adjusts the whole
         graph each frame, OdometryPipeline.cpp:315-422; windowing is the
         scalable default here — set ba_window=0 for full-graph behavior).
-        ``window`` overrides the config for one call (full_ba_every)."""
+        ``window`` overrides the config for one call (full_ba_every).
+        ``pin`` freezes the given absolute pose indices completely — the
+        post-closure BA pins the loop-edge endpoint poses so reprojection
+        evidence polishes the loop's interior without reverting the
+        pose-graph correction (loop edges are not in the BA cost)."""
         n_poses = len(self.pose_graph)
         w = self.cfg.ba_window if window is None else window
         start = 0 if w == 0 else max(0, n_poses - w)
@@ -733,6 +742,9 @@ class OdometryPipeline:
         pose_fixed = np.zeros((Cb, 6), bool)
         pose_fixed[0] = True
         pose_fixed[C:] = True
+        for p in pin:
+            if start <= p < n_poses:
+                pose_fixed[p - start] = True
         if start == 0 and C >= 2:
             # Freeze the second camera's largest translation component
             # (not a fixed axis: the dominant motion direction is scene-

@@ -181,7 +181,7 @@ def main():
         cfg = SIZES[name]
         prob = make_problem(**cfg)
         results[name] = dict(cfg)
-        for solver in args.solvers.split(","):
+        for solver in filter(None, args.solvers.split(",")):
             opts = BAOptions(max_iters=args.iters, cg_iters=args.cg,
                              solver=solver)
             t0 = time.perf_counter()

@@ -61,11 +61,14 @@ def run_room(args):
 
     cfg = OdometryConfig(rel_pose_samples=300, pnp_samples=300,
                          rel_pose_min_inliers=40, pnp_min_inliers=15,
-                         ba_window=8, full_ba_every=args.full_ba_every)
+                         ba_window=8, full_ba_every=args.full_ba_every,
+                         ba_every=args.ba_every,
+                         frontend_batch=args.frontend_batch)
     pipe = OdometryPipeline(K, cfg)
     closer = (LoopCloser(K, LoopClosureConfig(
         min_gap=max(args.frames // 4, 15), min_inliers=40,
-        rel_pose_samples=300)) if args.loop else None)
+        rel_pose_samples=300, post_ba=not args.no_post_ba))
+        if args.loop else None)
 
     t0 = time.perf_counter()
     ok = []
@@ -166,6 +169,13 @@ def main():
                     help="periodic full-trajectory BA cadence (0 = off); "
                     "bounds the monocular bootstrap-draw ATE variance "
                     "(probe_ab_vo.py)")
+    ap.add_argument("--ba-every", type=int, default=1,
+                    help="windowed-BA cadence (accepted frames per BA)")
+    ap.add_argument("--frontend-batch", type=int, default=4,
+                    help="frames per fused frontend dispatch (pipelined)")
+    ap.add_argument("--no-post-ba", action="store_true",
+                    help="disable the post-closure full-trajectory BA "
+                    "(LoopClosureConfig.post_ba) for A/B runs")
     ap.add_argument("--out", default="eval_vo_room.json")
     args = ap.parse_args()
 
