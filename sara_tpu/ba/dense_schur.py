@@ -515,6 +515,32 @@ def _lm_loop(strata, opts, Qs, allreduce):
     return poses_f, points_f, info
 
 
+@jax.jit
+def _session_refresh(strata, ids, poses, points):
+    """Swap pose/point VALUES into the resident strata layout as ONE
+    device program. The previous per-stratum eager ops (gather, pad,
+    concatenate, scatter — ~25 dispatches) each paid this runtime's
+    ~27 ms dispatch RTT; measured session re-solve 8.3 s vs 0.9 s for
+    the solver itself (BA_BENCH_r5 debugging)."""
+    new = []
+    for ptm, idv in zip(strata, ids):
+        pts = points[idv]
+        pad = ptm.points.shape[0] - idv.shape[0]
+        if pad:
+            pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)])
+        new.append(ptm._replace(poses=poses, points=pts))
+    return tuple(new)
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _session_scatter(points_t, ids, P):
+    """Per-stratum point blocks -> one (P, 3) array, one device program."""
+    pts_full = jnp.zeros((P, 3), points_t[0].dtype)
+    for idv, pnew in zip(ids, points_t):
+        pts_full = pts_full.at[idv].set(pnew[: idv.shape[0]])
+    return pts_full
+
+
 class DenseSchurSession:
     """Device-resident dense-Schur BA: pack ONCE, solve repeatedly.
 
@@ -554,28 +580,24 @@ class DenseSchurSession:
         Returns (poses, points (P, 3), info)."""
         opts = opts or self.opts
         if poses is not None or points is not None:
-            new = []
-            for ptm, ids in zip(self.strata, self._ids):
-                if poses is not None:
-                    ptm = ptm._replace(poses=jnp.asarray(poses))
-                if points is not None:
-                    pts = jnp.asarray(points)[ids]          # device gather
-                    pad = ptm.points.shape[0] - pts.shape[0]
-                    if pad:
-                        pts = jnp.concatenate(
-                            [pts, jnp.zeros((pad, 3), pts.dtype)])
-                    ptm = ptm._replace(points=pts)
-                new.append(ptm)
-            self.strata = tuple(new)
+            poses_in = jnp.asarray(poses) if poses is not None \
+                else self.strata[0].poses
+            if points is not None:
+                self.strata = _session_refresh(
+                    self.strata, tuple(self._ids), poses_in,
+                    jnp.asarray(points))
+            else:
+                # Metadata-only replace (no device ops).
+                self.strata = tuple(ptm._replace(poses=poses_in)
+                                    for ptm in self.strata)
         poses_f, points_t, info = dense_schur_bundle_adjust_strata(
             self.strata, opts, self.Qs)
         # Keep the solution resident so chained solves continue from it.
         self.strata = tuple(
             ptm._replace(poses=poses_f, points=pts)
             for ptm, pts in zip(self.strata, points_t))
-        pts_full = jnp.zeros((self._P, 3), poses_f.dtype)
-        for ids, pnew in zip(self._ids, points_t):
-            pts_full = pts_full.at[ids].set(pnew[:ids.shape[0]])
+        pts_full = _session_scatter(tuple(points_t), tuple(self._ids),
+                                    self._P)
         return poses_f, pts_full, info
 
 

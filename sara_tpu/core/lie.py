@@ -197,6 +197,62 @@ def se3_apply(R, t, X):
 
 
 # ---------------------------------------------------------------------------
+# Sim(3): x -> s R x + t. The similarity group is what monocular loop
+# closure must optimize over — SE(3) pose graphs cannot express the SCALE
+# drift a monocular odometry chain accumulates (Strasdat et al., "Scale
+# Drift-Aware Large Scale Monocular SLAM", RSS 2010). No reference
+# counterpart (the reference has no pose-graph backend at all).
+# ---------------------------------------------------------------------------
+
+def sim3_compose(Ra, ta, sa, Rb, tb, sb):
+    """(Ra,ta,sa) o (Rb,tb,sb): apply b first, then a."""
+    return (Ra @ Rb,
+            sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta,
+            sa * sb)
+
+
+def sim3_inverse(R, t, s):
+    Rt = jnp.swapaxes(R, -1, -2)
+    sinv = 1.0 / s
+    return Rt, -sinv[..., None] * jnp.einsum("...ij,...j->...i", Rt, t), sinv
+
+
+def _inv3(M):
+    """Closed-form 3x3 inverse (adjugate) — batched tiny `linalg.solve`
+    lowers to the padded LU custom call that is a measured TPU trap
+    (NOTES.md round 2); the adjugate is three cross products."""
+    a, b, c = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    r0, r1, r2 = jnp.cross(b, c), jnp.cross(c, a), jnp.cross(a, b)
+    det = jnp.sum(a * r0, axis=-1)[..., None, None]
+    return jnp.stack([r0, r1, r2], axis=-1) / det
+
+
+def _sim3_W(w, sigma, terms: int = 18):
+    """W(w, sigma) = sum_k M^k / (k+1)!  with  M = [w]_x + sigma I — the
+    left Jacobian that maps the translational tangent to the group
+    translation (t = W u). The truncated series is exact to ~1e-8 for
+    |w| <= pi and |sigma| <= 1 and stays autodiff-friendly (no
+    theta-branch case analysis)."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype),
+                           w.shape[:-1] + (3, 3))
+    M = skew(w) + sigma[..., None, None] * eye
+    W = eye
+    term = eye
+    for k in range(1, terms):
+        term = term @ M / (k + 1.0)
+        W = W + term
+    return W
+
+
+def sim3_log(R, t, s):
+    """(R, t, s) -> (..., 7) tangent [w(3), u(3), sigma(1)]."""
+    w = so3_log(R)
+    sigma = jnp.log(s)
+    u = jnp.einsum("...ij,...j->...i", _inv3(_sim3_W(w, sigma)), t)
+    return jnp.concatenate([w, u, sigma[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Yaw-pitch-roll (reference: Core/Math/Rotation.hpp `rotation(psi,theta,phi)`
 # = Rz(psi) Ry(theta) Rx(phi)).
 # ---------------------------------------------------------------------------

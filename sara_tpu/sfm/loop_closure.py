@@ -55,6 +55,17 @@ class LoopClosureConfig:
     # reason: both edge components agreed with the drifted graph).
     min_metric_points: int = 30
     metric_pnp_samples: int = 500
+    # Optimize the pose graph over Sim(3) instead of SE(3): monocular
+    # odometry accumulates SCALE drift that an SE(3) graph cannot express
+    # (it can only trade the scale inconsistency around the loop as shape
+    # distortion — measured ATE 0.077-0.123 after SE(3) closure on the
+    # 240x320 room loop, sometimes WORSE than before). Sim(3) poses carry
+    # a log-scale state; metric PnP loop edges anchor true scale, odometry
+    # edges softly prefer relative scale 1 (Strasdat et al., RSS 2010).
+    sim3: bool = True
+    # Information weight of the odometry edges' relative-scale component
+    # (how strongly consecutive frames resist scale change).
+    odo_scale_weight: float = 1.0
     # After a successful pose-graph correction: rigidly re-anchor every
     # scene point with its anchor (first-observation) frame's pose delta —
     # the map must move WITH the corrected trajectory; left in drifted
@@ -268,7 +279,35 @@ class LoopCloser:
         t_b = np.asarray(t_b, float)
         R_rel = R_b @ np.asarray(R_a).T
         t_rel = t_b - R_rel @ np.asarray(t_a)
-        return R_rel, t_rel, int(n_inl)
+        # Relative LOCAL-SCALE measurement for the Sim(3) graph (Strasdat
+        # RSS'10): the same physical structure is measured in both frames'
+        # map sections — the depth of frame a's points under the PnP pose
+        # vs the depth of frame b's OWN (recently triangulated, drifted-
+        # scale) points under b's graph pose. The median ratio is
+        # s_local(b)/s_local(a); without it a scale-1 loop edge contradicts
+        # the drift and Sim(3) converges to a warped compromise
+        # (tests/test_pose_graph_opt.py::test_sim3_closure_fixes_scale_drift).
+        d_rel = None
+        if b < len(pipeline.frames):
+            fid_b = pipeline.frames[b]["tracker_id"]
+            gb = tr.global_id(fid_b, np.asarray(mj)[sel])
+            tb_ = tr.track_of_feature[gb]
+            okb = tb_ >= 0
+            reps_b = tr.rep_of_tracks(np.where(okb, tb_, 0))
+            idxs_b = np.fromiter(
+                (spt.get(int(r), -1) if o else -1
+                 for r, o in zip(reps_b, okb)), np.int64, len(reps_b))
+            both = has_pt & (idxs_b >= 0)
+            if int(both.sum()) >= 8:
+                Rbg, tbg = pipeline.pose_graph.pose(b)
+                Xa = pipeline.point_cloud.points[idxs[both]]
+                Xb = pipeline.point_cloud.points[idxs_b[both]]
+                z_a = (Xa @ R_b.T + t_b)[:, 2]          # a-map scale
+                z_b = (Xb @ np.asarray(Rbg).T + np.asarray(tbg))[:, 2]
+                good = (z_a > 1e-6) & (z_b > 1e-6)
+                if int(good.sum()) >= 8:
+                    d_rel = float(np.median(z_b[good] / z_a[good]))
+        return R_rel, t_rel, int(n_inl), d_rel
 
     def close(self, pipeline, frame_id: int) -> bool:
         """Try to close a loop at frame_id; on success optimize the pose
@@ -280,11 +319,12 @@ class LoopCloser:
         for cand in self.detect(frame_id):
             got = self.verify_metric(pipeline, cand, frame_id)
             if got is not None:
-                R, t, n_inl = got
+                R, t, n_inl, d_rel = got
                 self.loop_edges.append(
-                    (cand, frame_id, R, t, n_inl, True))
-                log.info("loop edge %d->%d METRIC (%d inliers)",
-                         cand, frame_id, n_inl)
+                    (cand, frame_id, R, t, n_inl, True, d_rel))
+                log.info("loop edge %d->%d METRIC (%d inliers, "
+                         "rel scale %s)", cand, frame_id, n_inl,
+                         f"{d_rel:.3f}" if d_rel else "n/a")
                 applied = True
                 continue
             got = self.verify(cand, frame_id)
@@ -292,7 +332,8 @@ class LoopCloser:
                 log.info("loop candidate %d->%d rejected", cand, frame_id)
                 continue
             R, t, n_inl = got
-            self.loop_edges.append((cand, frame_id, R, t, n_inl, False))
+            self.loop_edges.append(
+                (cand, frame_id, R, t, n_inl, False, None))
             log.info("loop edge %d->%d E-only (%d inliers)",
                      cand, frame_id, n_inl)
             applied = True
@@ -327,17 +368,33 @@ class LoopCloser:
             edges_i.append(e.src)
             edges_j.append(e.dst)
             rels.append(np.asarray(relative_pose_to_packing(R_rel, t_rel)))
-            weights.append(np.ones(6))
-        for (a, b, R, t, n_inl, metric) in self.loop_edges:
+            w = np.ones(7 if self.cfg.sim3 else 6)
+            if self.cfg.sim3:
+                w[6] = self.cfg.odo_scale_weight
+            weights.append(w)
+        sigmas = [0.0] * len(rels)           # odometry: relative scale 1
+        for (a, b, R, t, n_inl, metric, d_rel) in self.loop_edges:
+            sigma_m = 0.0
             if metric:
-                # PnP-measured edge: translation scale is real — full
-                # translation information.
-                t_edge = t
+                # PnP-measured edge: translation scale is the OLD map
+                # section's (real). When the relative local scale d =
+                # s_local(b)/s_local(a) was measured (depth ratios of
+                # co-observed structure), express the Sim(3) measurement
+                # in b's scale frame: t_m = d * t_pnp, sigma_m = log d —
+                # this is what makes the Sim(3) graph recover scale DRIFT
+                # instead of compromising (see verify_metric docstring).
+                scale_known = d_rel is not None and d_rel > 0
+                if self.cfg.sim3 and scale_known:
+                    t_edge = d_rel * t
+                    sigma_m = float(np.log(d_rel))
+                else:
+                    t_edge = t
                 trans_frac = 1.0
             else:
                 # E-only fallback: scale the unit loop translation with
                 # the current graph's baseline estimate (monocular scale
                 # is unobservable from E) and discount its information.
+                scale_known = False
                 ca = pg.poses[a].center()
                 cb = pg.poses[b].center()
                 s = max(np.linalg.norm(cb - ca), 1e-6)
@@ -346,14 +403,29 @@ class LoopCloser:
             edges_i.append(a)
             edges_j.append(b)
             rels.append(np.asarray(relative_pose_to_packing(R, t_edge)))
+            sigmas.append(sigma_m)
             # Information scales with the verified inlier count
             # (VERDICT r3 weak #1: a flat scalar weight let one noisy edge
             # outvote the odometry chain).
             w_rot = self.cfg.loop_weight * min(
                 1.0, n_inl / max(self.cfg.full_weight_inliers, 1))
-            w = np.full(6, w_rot)
-            w[3:] *= trans_frac
+            w = np.full(7 if self.cfg.sim3 else 6, w_rot)
+            w[3:6] *= trans_frac
+            if self.cfg.sim3:
+                # A loop edge carries scale information only when its
+                # relative local scale was actually measured.
+                w[6] *= 1.0 if scale_known else 0.0
             weights.append(w)
+
+        if self.cfg.sim3:
+            # Lift SE(3) state + measurements to Sim(3): poses start at
+            # log_s = 0; odometry edges are measured in their own drifted
+            # scale with relative scale 1; metric loop edges carry their
+            # measured relative scale — the per-pose scale states absorb
+            # the drift.
+            packed = np.concatenate([packed, np.zeros((n, 1))], axis=1)
+            rels = [np.concatenate([r6, [sg]])
+                    for r6, sg in zip(rels, sigmas)]
 
         prob = PoseGraphProblem(
             poses=jnp.asarray(packed),
@@ -379,7 +451,7 @@ class LoopCloser:
 
         delta_eff = self.cfg.huber_delta
         groups = defaultdict(list)
-        for (a, b, R, t, n_inl, metric) in self.loop_edges:
+        for (a, b, R, t, n_inl, metric, _d) in self.loop_edges:
             if not metric:
                 continue
             Ra, ta = pg.pose(a)
@@ -423,11 +495,27 @@ class LoopCloser:
             float(np.asarray(info.get("initial_cost", np.nan))),
             float(np.asarray(info.get("final_cost", np.nan))),
             float(np.max(np.abs(new - packed))))
+        if self.cfg.sim3:
+            # Back to SE(3): a Sim(3) world->cam pose (s R, t) has camera
+            # center -(1/s) R^T t, so the SE(3) pose with the same center
+            # and rotation is (R, t / s). The per-pose scales also rescale
+            # each camera's map depths below.
+            s_new = np.exp(new[:, 6])
+            new = np.concatenate([new[:, :3], new[:, 3:6] / s_new[:, None]],
+                                 axis=1)
+            get_logger("sara_tpu.loop").info(
+                "sim3 scale field: %.3f .. %.3f (drift %.1f%%)",
+                float(s_new.min()), float(s_new.max()),
+                100.0 * float(s_new.max() / s_new.min() - 1.0))
+        else:
+            s_new = np.ones(n)
         pg.update_from_se3(new)
         if self.cfg.correct_map and len(pipeline.point_cloud.points):
             # Map correction: each scene point rides its anchor frame's
-            # pose delta (camera-frame coordinates are what the closure
-            # cannot change): X' = R_new^T (R_old X + t_old - t_new).
+            # pose delta; its camera-frame coordinates are what the
+            # closure cannot change, and under a Sim(3) correction the
+            # anchor's scale rescales its depths:
+            #   X' = R_new^T (R_old X + t_old - s_new * t_new_se3) / s_new.
             pc = pipeline.point_cloud
             m = len(pc.scene_point_of_track)
             reps = np.fromiter(pc.scene_point_of_track.keys(), np.int64, m)
@@ -438,7 +526,9 @@ class LoopCloser:
 
             Ro = Rotation.from_rotvec(packed[frames, :3]).as_matrix()
             Rn = Rotation.from_rotvec(new[frames, :3]).as_matrix()
+            sn = s_new[frames]
             Xc = np.einsum("pij,pj->pi", Ro, pc.points[uniq]) \
-                + packed[frames, 3:]
-            pc.points[uniq] = np.einsum("pji,pj->pi", Rn,
-                                        Xc - new[frames, 3:])
+                + packed[frames, 3:6]
+            pc.points[uniq] = np.einsum(
+                "pji,pj->pi", Rn,
+                Xc - sn[:, None] * new[frames, 3:]) / sn[:, None]

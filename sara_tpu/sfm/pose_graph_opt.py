@@ -30,7 +30,9 @@ class PoseGraphProblem(NamedTuple):
     """poses: (N, 6) angle-axis+t (world->camera). Edges: measured relative
     motions x_j = R_meas x_i + t_meas with weights."""
 
-    poses: jnp.ndarray         # (N, 6)
+    poses: jnp.ndarray         # (N, 6) SE(3) [w, t] — or (N, 7) Sim(3)
+                               # [w, t, log_s] for monocular scale-drift-
+                               # aware closure (rel_pose/weight rows match)
     edge_i: jnp.ndarray        # (E,) int32
     edge_j: jnp.ndarray        # (E,) int32
     rel_pose: jnp.ndarray      # (E, 6) measured log(T_j T_i^-1)-style packing
@@ -48,11 +50,29 @@ def _pose_to_Rt(p6):
     return lie.so3_exp(p6[:3]), p6[3:]
 
 
-def edge_residual(pose_i, pose_j, meas6):
-    """se(3) residual of one edge."""
+def _pose_to_Rts(p7):
+    return lie.so3_exp(p7[:3]), p7[3:6], jnp.exp(p7[6])
+
+
+def edge_residual(pose_i, pose_j, meas):
+    """Per-edge tangent residual. 6-wide rows are SE(3) (se(3) residual);
+    7-wide rows [w, t, log_s] are Sim(3) — the similarity group monocular
+    loop closure needs, since an SE(3) graph cannot express scale drift
+    (measured on the 240x320 room loop: ~14 map-unit loop residuals from
+    a smooth scale drift that SE(3) closure could only trade around the
+    loop, ATE 0.077-0.123 depending on seed)."""
+    if pose_i.shape[-1] == 7:
+        Ri, ti, si = _pose_to_Rts(pose_i)
+        Rj, tj, sj = _pose_to_Rts(pose_j)
+        Rm, tm, sm = _pose_to_Rts(meas)
+        Rrel, trel, srel = lie.sim3_compose(
+            Rj, tj, sj, *lie.sim3_inverse(Ri, ti, si))
+        Re, te, se_ = lie.sim3_compose(
+            *lie.sim3_inverse(Rm, tm, sm), Rrel, trel, srel)
+        return lie.sim3_log(Re, te, se_)
     Ri, ti = _pose_to_Rt(pose_i)
     Rj, tj = _pose_to_Rt(pose_j)
-    Rm, tm = _pose_to_Rt(meas6)
+    Rm, tm = _pose_to_Rt(meas)
     # T_rel = T_j o T_i^-1 ; residual = log(T_meas^-1 o T_rel).
     Rrel, trel = lie.se3_compose(Rj, tj, *lie.se3_inverse(Ri, ti))
     Rinv, tinv = lie.se3_inverse(Rm, tm)
@@ -61,10 +81,10 @@ def edge_residual(pose_i, pose_j, meas6):
 
 
 def _edge_weights6(p: PoseGraphProblem):
-    """(E, 6) per-component weights from a scalar or vector weight field."""
+    """(E, D) per-component weights from a scalar or vector weight field."""
     w = p.weight
     if w.ndim == 1:
-        w = jnp.broadcast_to(w[:, None], (w.shape[0], 6))
+        w = jnp.broadcast_to(w[:, None], (w.shape[0], p.poses.shape[1]))
     return w
 
 
@@ -90,7 +110,7 @@ def pose_graph_cost(p: PoseGraphProblem, huber_delta: float = 0.0,
         q = jnp.sum(w * r * r)
         if huber_delta > 0:
             n = jnp.sqrt(jnp.maximum(jnp.sum(r * r), 1e-24))
-            wbar = jnp.sum(w) / 6.0
+            wbar = jnp.sum(w) / w.shape[0]
             q = jnp.where(n <= huber_delta, 0.5 * q,
                           wbar * huber_delta * (n - 0.5 * huber_delta))
             q = jnp.minimum(q, wbar * huber_delta
@@ -130,14 +150,14 @@ def _edge_jacobians(p: PoseGraphProblem, huber_delta: float = 0.0,
 
 
 def _assemble_dense(p: PoseGraphProblem, r, Ji, Jj):
-    """Dense H (6N, 6N) and g (6N,) by scatter-add over edges."""
-    N = p.poses.shape[0]
+    """Dense H (DN, DN) and g (DN,) by scatter-add over edges."""
+    N, D = p.poses.shape
     free = (~p.pose_fixed).astype(r.dtype)
     Ji = Ji * free[p.edge_i][:, None, None]
     Jj = Jj * free[p.edge_j][:, None, None]
 
-    H = jnp.zeros((N, 6, N, 6), r.dtype)
-    g = jnp.zeros((N, 6), r.dtype)
+    H = jnp.zeros((N, D, N, D), r.dtype)
+    g = jnp.zeros((N, D), r.dtype)
     Hii = jnp.einsum("eab,eac->ebc", Ji, Ji)
     Hjj = jnp.einsum("eab,eac->ebc", Jj, Jj)
     Hij = jnp.einsum("eab,eac->ebc", Ji, Jj)
@@ -147,14 +167,14 @@ def _assemble_dense(p: PoseGraphProblem, r, Ji, Jj):
     H = H.at[p.edge_j, :, p.edge_i, :].add(jnp.swapaxes(Hij, -1, -2))
     g = g.at[p.edge_i].add(-jnp.einsum("eab,ea->eb", Ji, r))
     g = g.at[p.edge_j].add(-jnp.einsum("eab,ea->eb", Jj, r))
-    return H.reshape(6 * N, 6 * N), g.reshape(6 * N)
+    return H.reshape(D * N, D * N), g.reshape(D * N)
 
 
 def _matfree_solve(p: PoseGraphProblem, r, Ji, Jj, lam, cg_iters: int):
     """CG on the damped normal equations, matrix-free over edges: each
     matvec is two (E, 6, 6) batched products + two segment-sums — O(E)
     memory instead of the dense (6N)^2 assemble."""
-    N = p.poses.shape[0]
+    N, D = p.poses.shape
     # Eliminate fixed poses from the system (zeroing dx after an unmasked
     # solve is NOT equivalent and stalls convergence).
     free = (~p.pose_fixed).astype(r.dtype)
@@ -166,12 +186,12 @@ def _matfree_solve(p: PoseGraphProblem, r, Ji, Jj, lam, cg_iters: int):
     # LM term and the preconditioner.
     Hii = jax.ops.segment_sum(jnp.einsum("eab,eac->ebc", Ji, Ji), p.edge_i, N)
     Hjj = jax.ops.segment_sum(jnp.einsum("eab,eac->ebc", Jj, Jj), p.edge_j, N)
-    D = Hii + Hjj
-    eye = jnp.eye(6, dtype=D.dtype)
-    damp = lam * (D * eye) + 1e-8 * eye              # (N, 6, 6) diag blocks
+    Dblk = Hii + Hjj
+    eye = jnp.eye(D, dtype=Dblk.dtype)
+    damp = lam * (Dblk * eye) + 1e-8 * eye           # (N, D, D) diag blocks
     from sara_tpu.ops.smallmat import batched_inv
 
-    Minv = batched_inv(D + damp)
+    Minv = batched_inv(Dblk + damp)
 
     def matvec(x):
         y = (jnp.einsum("eab,eb->ea", Ji, x[p.edge_i])
@@ -223,7 +243,7 @@ def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
 
     huber_delta > 0 makes every edge Huber-robust (IRLS) — an inconsistent
     loop edge degrades gracefully instead of dragging the trajectory."""
-    N = p.poses.shape[0]
+    N, D = p.poses.shape
     if method == "auto":
         method = "dense" if N <= 192 else "cg"
 
@@ -233,9 +253,9 @@ def optimize_pose_graph(p: PoseGraphProblem, max_iters: int = 20,
         if method == "dense":
             H, g = _assemble_dense(prob, r, Ji, Jj)
             diag = jnp.diag(jnp.diag(H))
-            eye = jnp.eye(6 * N, dtype=H.dtype)
+            eye = jnp.eye(D * N, dtype=H.dtype)
             dx = jnp.linalg.solve(H + lam * diag + 1e-8 * eye, g)
-            dx = dx.reshape(N, 6)
+            dx = dx.reshape(N, D)
         else:
             dx = _matfree_solve(prob, r, Ji, Jj, lam, cg_iters)
         dx = jnp.where(prob.pose_fixed[:, None], 0.0, dx)

@@ -232,3 +232,82 @@ def test_huber_edges_resist_outlier_edge():
     # Robust: chain wins (small error); quadratic: false edge drags poses.
     assert err_rob < 0.25, err_rob
     assert err_rob < 0.3 * err_quad, (err_rob, err_quad)
+
+
+def test_sim3_closure_fixes_scale_drift():
+    """Monocular SCALE drift: odometry translations grow by a smooth
+    per-step factor (total 1.35x around the loop) while rotations stay
+    exact. An SE(3) pose graph cannot express this — its 'closure' only
+    trades the inconsistency around the loop as shape distortion — while
+    the Sim(3) graph (poses carry log-scale; the loop edge is measured in
+    true scale, odometry edges softly prefer relative scale 1) recovers
+    the trajectory (Strasdat et al., RSS 2010)."""
+    n = 40
+    gt = _circle_trajectory(n)
+    drift_total = 1.35
+
+    noisy = [gt[0]]
+    edges = []
+    for k in range(1, n):
+        R, t = _rel(gt[k - 1], gt[k])
+        s_k = drift_total ** (k / (n - 1.0))       # smooth scale drift
+        Rp, tp = noisy[-1]
+        noisy.append((R @ Rp, R @ tp + s_k * t))
+        # Odometry edges are measured from the DRIFTED chain (what VO
+        # integrated), relative scale believed to be 1 (log-scale 0).
+        edges.append((k - 1, k, R, s_k * t, 1.0, 0.0))
+    Rlc, tlc = _rel(gt[n - 1], gt[0])
+    # The loop edge carries a MEASURED relative scale (in the pipeline:
+    # median depth ratio of co-observed structure between the two frames'
+    # map sections — LoopCloser.verify_metric); without it the scale-1
+    # claim contradicts the drift and Sim(3) converges to a warped
+    # compromise (measured: ATE 0.19 vs the 0.0005 below).
+    edges.append((n - 1, 0, Rlc, tlc, 10.0, np.log(1.0 / drift_total)))
+
+    def build(dim):
+        packed = np.stack([
+            np.concatenate([np.asarray(lie.so3_log(jnp.asarray(R))), t,
+                            np.zeros(dim - 6)])
+            for R, t in noisy])
+        rels = [np.concatenate(
+            [np.asarray(relative_pose_to_packing(e[2], e[3])),
+             [e[5]][: dim - 6]]) for e in edges]
+        w = np.ones((len(edges), dim))
+        w[-1] *= edges[-1][4]
+        return PoseGraphProblem(
+            poses=jnp.asarray(packed),
+            edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
+            edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
+            rel_pose=jnp.asarray(np.stack(rels)),
+            weight=jnp.asarray(w),
+            edge_mask=jnp.ones(len(edges), bool),
+            pose_fixed=jnp.asarray([True] + [False] * (n - 1)),
+        )
+
+    gt_centers = np.stack([-R.T @ t for R, t in gt])
+
+    def ate(poses):
+        poses = np.asarray(poses)
+        cs = []
+        for p in poses:
+            R = np.asarray(lie.so3_exp(jnp.asarray(p[:3])))
+            tt = np.asarray(p[3:6])
+            if p.shape[0] == 7:
+                tt = tt / np.exp(p[6])
+            cs.append(-R.T @ tt)
+        from sara_tpu.utils import ate_rmse
+
+        return ate_rmse(np.stack(cs), gt_centers)
+
+    before = ate(build(6).poses)
+    out6, _ = optimize_pose_graph(build(6), max_iters=30)
+    out7, _ = optimize_pose_graph(build(7), max_iters=30)
+    ate6, ate7 = ate(out6.poses), ate(out7.poses)
+    # Sim(3) must beat both the drifted input and the SE(3) closure by a
+    # wide margin (scale drift is exactly its extra degree of freedom) —
+    # measured 0.0005 vs before 0.37 / SE(3) 0.28.
+    assert ate7 < 0.1 * min(before, ate6), \
+        f"before {before:.4f}, se3 {ate6:.4f}, sim3 {ate7:.4f}"
+    # ... and recover the planted total drift in its scale states.
+    s_end = float(np.exp(np.asarray(out7.poses)[-1, 6]))
+    assert abs(s_end - drift_total) < 0.05 * drift_total
