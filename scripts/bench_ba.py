@@ -134,7 +134,8 @@ def scipy_anchor(prob, opts, max_nfev=12):
     t0 = time.perf_counter()
     res = least_squares(fun, x0, jac=jac, method="trf", loss="huber",
                         f_scale=delta, max_nfev=max_nfev, tr_solver="lsmr",
-                        verbose=0)
+                        verbose=0)  # x_scale='jac' measured WORSE here
+                                    # (3 evals, cost barely moved)
     wall = time.perf_counter() - t0
     poses_f, points_f = unpack(res.x)
     final = float(ba_cost(prob._replace(poses=poses_f, points=points_f),
@@ -246,7 +247,7 @@ def main():
                 from sara_tpu.ba import DenseSchurSession
 
                 sess = DenseSchurSession(prob, opts)
-                _, _, i0 = sess.solve()
+                _, _, i0 = sess.solve(poses=prob.poses, points=prob.points)
                 float(i0["final_cost"])
                 t0 = time.perf_counter()
                 _, _, i1 = sess.solve(poses=prob.poses, points=prob.points)

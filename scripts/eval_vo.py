@@ -67,7 +67,7 @@ def run_room(args):
     pipe = OdometryPipeline(K, cfg)
     closer = (LoopCloser(K, LoopClosureConfig(
         min_gap=max(args.frames // 4, 15), min_inliers=40,
-        rel_pose_samples=300, post_ba=not args.no_post_ba))
+        rel_pose_samples=300, post_ba=args.post_ba))
         if args.loop else None)
 
     t0 = time.perf_counter()
@@ -119,6 +119,10 @@ def run_room(args):
     if closer is not None:
         closed = bool(closer.close(pipe, accepted - 1))
         ate_after = float(ate_rmse(pipe.pose_graph.trajectory(), gt_sel))
+        if os.environ.get("SARA_DUMP_TRAJ"):
+            np.savez(os.environ["SARA_DUMP_TRAJ"],
+                     traj=pipe.pose_graph.trajectory(), gt=gt_sel,
+                     poses=pipe.pose_graph.poses_se3())
 
     artifact = {
         "config": "baseline-3-room-loop",
@@ -173,9 +177,10 @@ def main():
                     help="windowed-BA cadence (accepted frames per BA)")
     ap.add_argument("--frontend-batch", type=int, default=4,
                     help="frames per fused frontend dispatch (pipelined)")
-    ap.add_argument("--no-post-ba", action="store_true",
-                    help="disable the post-closure full-trajectory BA "
-                    "(LoopClosureConfig.post_ba) for A/B runs")
+    ap.add_argument("--post-ba", action="store_true",
+                    help="enable the post-closure full-trajectory BA "
+                    "(measured harmful on the room loop; "
+                    "LoopClosureConfig.post_ba is off by default)")
     ap.add_argument("--out", default="eval_vo_room.json")
     args = ap.parse_args()
 
