@@ -108,3 +108,43 @@ def test_decompose_projection_matrix(rng):
         np.testing.assert_allclose(np.asarray(R2), R, atol=1e-8)
         np.testing.assert_allclose(np.asarray(t2), t, atol=1e-6)
         assert float(jnp.linalg.det(R2)) > 0
+
+
+def test_sim3_ops_match_matrix_exponential():
+    """sim3_log/compose/inverse against the 4x4 matrix exponential of the
+    Sim(3) generator [[w]_x + sigma I, u; 0, 0] (scipy expm oracle)."""
+    import numpy as np
+    from scipy.linalg import expm
+
+    import jax.numpy as jnp
+
+    from sara_tpu.core import lie
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        w = rng.normal(size=3)
+        w = w / np.linalg.norm(w) * rng.uniform(0.0, 3.0)
+        u = rng.normal(size=3) * 2
+        sig = rng.uniform(-0.8, 0.8)
+        G = np.zeros((4, 4))
+        G[:3, :3] = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]],
+                              [-w[1], w[0], 0]]) + sig * np.eye(3)
+        G[:3, 3] = u
+        T = expm(G)
+        sR = T[:3, :3]
+        s = np.linalg.det(sR) ** (1.0 / 3.0)
+        got = np.asarray(lie.sim3_log(jnp.asarray(sR / s),
+                                      jnp.asarray(T[:3, 3]), jnp.asarray(s)))
+        np.testing.assert_allclose(got, np.concatenate([w, u, [sig]]),
+                                   atol=1e-6)
+    # compose o inverse = identity
+    R1 = np.asarray(lie.so3_exp(jnp.asarray([0.3, -0.2, 0.5])))
+    Ri, ti, si = lie.sim3_inverse(jnp.asarray(R1),
+                                  jnp.asarray([1.0, 2.0, 3.0]),
+                                  jnp.asarray(1.7))
+    Rc, tc, sc = lie.sim3_compose(jnp.asarray(R1),
+                                  jnp.asarray([1.0, 2.0, 3.0]),
+                                  jnp.asarray(1.7), Ri, ti, si)
+    np.testing.assert_allclose(np.asarray(Rc), np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(tc), 0, atol=1e-12)
+    np.testing.assert_allclose(float(sc), 1.0, atol=1e-12)
